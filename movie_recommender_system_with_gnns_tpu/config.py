@@ -1,0 +1,149 @@
+"""Central configuration for the TPU-native LightGCN recommender framework.
+
+The reference repo has no config system at all — every hyperparameter lives as a
+function default or a hard-coded ``__main__`` override (reference
+utils/train_test.py:274,:287, data/dataset_handler.py:144,:256, models/light_gcn.py:14).
+This module replaces that with one frozen dataclass tree so every experiment is
+reproducible from a single object.
+
+Reference defaults captured here:
+  * ``num_layers=4, dim_h=64``            — models/light_gcn.py:14
+  * training override ``num_layers=3``    — utils/train_test.py:274
+  * ``train_size=0.9`` (then 50/50 val/test) — data/dataset_handler.py:144,:167-168
+  * ``num_train_clusters=100``            — data/dataset_handler.py:256
+  * ``bpr_coeff=5e-3``                    — utils/train_test.py:21
+  * ``lr=1e-3``, Adam                     — utils/train_test.py:216,:236
+  * grad-clip global-norm 1.0             — utils/train_test.py:95
+  * eval ``top_k=100``; recall sampling 10 draws x 100 users — utils/train_test.py:136,:165
+  * rating filter ``>= 4.0``              — data/dataset_handler.py:106
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset ingest + split configuration (reference data/dataset_handler.py)."""
+
+    dataset: str = "ml-25m"           # ml-100k | ml-1m | ml-25m | synthetic
+    data_dir: str = "data/movielens-25m"
+    indexes_dir: str = "data/indexes"
+    min_rating: float = 4.0           # dataset_handler.py:106
+    train_size: float = 0.9           # dataset_handler.py:144
+    val_test_ratio: float = 0.5       # dataset_handler.py:168
+    split_seed: int = 0
+    # synthetic-dataset knobs (used when no network egress / tests)
+    synthetic_users: int = 1000
+    synthetic_items: int = 1700
+    synthetic_interactions: int = 100_000
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """LightGCN model hyperparameters (reference models/light_gcn.py:13-26)."""
+
+    num_layers: int = 3               # training value, train_test.py:274
+    dim: int = 64                     # dim_h, light_gcn.py:14
+    init_std: float = 0.01            # light_gcn.py:25-26
+    # "reference" readout keeps the double 1/(K+1) factor of light_gcn.py:36;
+    # "standard" is the LightGCN-paper mean over layers.
+    readout: str = "reference"
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"    # bfloat16 supported for propagation
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization loop configuration (reference utils/train_test.py)."""
+
+    epochs: int = 3                   # train_test.py:287
+    lr: float = 1e-3                  # train_test.py:216
+    bpr_coeff: float = 5e-3           # train_test.py:21
+    grad_clip_norm: float = 1.0       # train_test.py:95
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    seed: int = 0
+    num_clusters: int = 100           # dataset_handler.py:256
+    use_clusters: bool = True
+    # eval / metric knobs
+    eval_top_k: int = 100             # train_test.py:136
+    recall_num_samples: int = 10      # train_test.py:165
+    recall_sample_size: int = 100     # train_test.py:165
+    checkpoint_path: str = "best_model.npz"
+    histories_dir: str = "data/histories"
+    resume: bool = True               # train_test.py:279-280
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding configuration (no analog in the reference, which is
+    single-device: dataset_handler.py:85)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.data_parallel, self.model_parallel)
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Retrieval serving configuration (reference utils/recommend.py)."""
+
+    top_k: int = 10                   # recommend.py:59-60 stops at 10
+    block_items: int = 8192           # item-catalog blocking for the MIPS kernel
+    checkpoint_path: str = "best_model.npz"
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+        return Config(
+            data=DataConfig(**raw.get("data", {})),
+            model=ModelConfig(**raw.get("model", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+            serve=ServeConfig(**raw.get("serve", {})),
+        )
+
+
+def ml100k_config() -> Config:
+    """Milestone config 1 from BASELINE.json: 3-layer d=64 on an ML-100K-scale graph."""
+    return Config(
+        data=DataConfig(dataset="ml-100k", data_dir="data/movielens-100k",
+                        synthetic_users=943, synthetic_items=1682,
+                        synthetic_interactions=100_000),
+        train=TrainConfig(num_clusters=4),
+    )
+
+
+def ml25m_config() -> Config:
+    """Milestone config 3 from BASELINE.json: 4-layer d=128 on ML-25M."""
+    return Config(
+        data=DataConfig(dataset="ml-25m"),
+        model=ModelConfig(num_layers=4, dim=128),
+        train=TrainConfig(num_clusters=100),
+    )

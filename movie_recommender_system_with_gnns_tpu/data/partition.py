@@ -1,0 +1,111 @@
+"""METIS-free graph partitioning for Cluster-GCN-style subgraph training.
+
+The reference scales to ML-25M by METIS-partitioning the train graph into 100
+clusters and training on one induced subgraph per step (reference
+data/dataset_handler.py:256-288 via PyG ``ClusterData``; README.md:53-54 cites the
+Cluster-GCN paper). Each cluster's edge_index is remapped back to GLOBAL node ids
+(dataset_handler.py:277-282), so clusters partition *edges* while the embedding
+tables stay global — exactly the contract our trainer keeps.
+
+TPU-native replacements (no METIS C dependency):
+
+  * :func:`partition_bipartite_greedy` (default) — degree-balanced user assignment
+    + majority-vote item assignment. One streaming pass, high intra-cluster edge
+    retention on power-law bipartite graphs; the spiritual METIS stand-in.
+    A C++ implementation of the same algorithm lives in ``native/graphcore.cpp``
+    and is used automatically when built (ctypes), with this NumPy path as the
+    always-available fallback.
+  * :func:`partition_edges_random` — uniform random edge partition: keeps every
+    edge across the epoch (no cluster-GCN edge loss) at the cost of subgraph
+    locality. Often trains better; offered as a config choice.
+
+Both return, per cluster, a global-id edge array — feed to
+``training.pipeline.build_cluster_batches`` for padding + device upload.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+
+def partition_bipartite_greedy(
+    edge_index: np.ndarray,
+    num_users: int,
+    num_nodes: int,
+    num_parts: int,
+    seed: int = 0,
+) -> List[np.ndarray]:
+    """Partition nodes, keep intra-cluster edges (Cluster-GCN semantics).
+
+    1. users are sorted by degree (desc) and dealt snake-wise over parts so user
+       degree mass balances;
+    2. each item joins the part holding the plurality of its edges;
+    3. edges survive iff part(user) == part(item) — mirrored edges (item→user)
+       survive symmetrically, so subgraphs stay undirected.
+    """
+    head, tail = edge_index[0], edge_index[1]
+    # operate on the user→item half; mirror at the end
+    fwd = (head < num_users) & (tail >= num_users)
+    u = head[fwd].astype(np.int64)
+    it = (tail[fwd] - num_users).astype(np.int64)
+    num_items = num_nodes - num_users
+
+    u_deg = np.bincount(u, minlength=num_users)
+    order = np.argsort(-u_deg, kind="stable")
+    part_of_user = np.empty(num_users, dtype=np.int32)
+    # snake deal: 0..P-1, P-1..0, 0..P-1, ... balances degree mass
+    lane = np.arange(num_users) % (2 * num_parts)
+    snake = np.where(lane < num_parts, lane, 2 * num_parts - 1 - lane)
+    part_of_user[order] = snake.astype(np.int32)
+
+    # item -> plurality part of its user neighbors
+    ep = part_of_user[u]
+    counts = np.zeros((num_items, num_parts), dtype=np.int32)
+    np.add.at(counts, (it, ep), 1)
+    part_of_item = counts.argmax(axis=1).astype(np.int32)
+    # items with no edges: spread uniformly
+    rng = np.random.default_rng(seed)
+    empty = counts.sum(axis=1) == 0
+    part_of_item[empty] = rng.integers(0, num_parts, empty.sum())
+
+    keep = ep == part_of_item[it]
+    u_k, it_k, p_k = u[keep], it[keep], ep[keep]
+    out: List[np.ndarray] = []
+    for p in range(num_parts):
+        m = p_k == p
+        uu, ii = u_k[m], it_k[m] + num_users
+        # undirected: both directions, matching the reference's doubled graph
+        e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
+        out.append(e)
+    return out
+
+
+def partition_edges_random(
+    edge_index: np.ndarray,
+    num_users: int,
+    num_parts: int,
+    seed: int = 0,
+) -> List[np.ndarray]:
+    """Uniform random partition of the user→item edges; each part mirrored to an
+    undirected subgraph. Retains 100% of edges across the epoch."""
+    head, tail = edge_index[0], edge_index[1]
+    fwd = (head < num_users) & (tail >= num_users)
+    u = head[fwd]
+    it = tail[fwd]
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, num_parts, u.shape[0])
+    out: List[np.ndarray] = []
+    for p in range(num_parts):
+        m = assign == p
+        uu, ii = u[m], it[m]
+        e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
+        out.append(e)
+    return out
+
+
+def edge_retention(parts: List[np.ndarray], total_edges: int) -> float:
+    """Fraction of the original (undirected-doubled) edges kept across clusters."""
+    kept = sum(p.shape[1] for p in parts)
+    return kept / max(total_edges, 1)

@@ -1,0 +1,101 @@
+"""Triplet construction + negative sampling, jit-safe with static shapes.
+
+Capability parity with reference ``utils/helpers.py``:
+
+  * :func:`triplets_from_edges` (host) — users/pos-items from an edge batch
+    (helpers.py:84-103): users are edge heads with id < num_users, positives are
+    edge tails ≥ num_users shifted down by num_users. For the undirected-doubled
+    bipartite graph both masks select exactly the user→item half. We do this on
+    host at graph-build time and pad to a static batch size.
+  * :func:`sample_negative` — uniform random item ids, no positive-collision
+    check, matching the reference's simplification (helpers.py:64-82, note :68),
+    but driven by a ``jax.random`` key (deterministic across devices/mesh shapes).
+  * :func:`sample_negative_feasible` — the exact variant the reference sketches
+    but never wires in (cantor_hash_pair / is_in_feasible, helpers.py:11-62):
+    rejection-resample against a user→item membership probe table.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TripletBatch(NamedTuple):
+    """Padded (static-shape) positive pairs for one training step."""
+
+    user: jax.Array       # (B,) int32 dense user index
+    pos_item: jax.Array   # (B,) int32 dense item index (0-based, no offset)
+    mask: jax.Array       # (B,) bool — False on padding rows
+
+
+def triplets_from_edges(
+    edge_index: np.ndarray, num_users: int, pad_to: int | None = None
+) -> TripletBatch:
+    """Host-side positive-pair extraction (helpers.py:98-100) with padding."""
+    head = edge_index[0]
+    tail = edge_index[1]
+    m = (head < num_users) & (tail >= num_users)
+    users = head[m].astype(np.int32)
+    pos = (tail[m] - num_users).astype(np.int32)
+    b = users.shape[0]
+    pad = b if pad_to is None else pad_to
+    if pad < b:
+        raise ValueError(f"pad_to={pad} < batch={b}")
+    mask = np.zeros(pad, bool)
+    mask[:b] = True
+    users = np.concatenate([users, np.zeros(pad - b, np.int32)])
+    pos = np.concatenate([pos, np.zeros(pad - b, np.int32)])
+    return TripletBatch(jnp.asarray(users), jnp.asarray(pos), jnp.asarray(mask))
+
+
+def sample_negative(key: jax.Array, batch: int, num_items: int) -> jax.Array:
+    """Uniform negatives over the item catalog (helpers.py:79-80)."""
+    return jax.random.randint(key, (batch,), 0, num_items, dtype=jnp.int32)
+
+
+def cantor_hash_pair(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Cantor pairing (helpers.py:11-22) — used by the exact-feasibility sampler."""
+    s = x.astype(jnp.int64) + y.astype(jnp.int64)
+    return (s * (s + 1)) // 2 + y.astype(jnp.int64)
+
+
+def build_membership_hash(
+    user: np.ndarray, item: np.ndarray, num_slots: int
+) -> np.ndarray:
+    """Host-side sorted Cantor-hash table of observed (user, item) pairs.
+
+    The jit-side probe (:func:`sample_negative_feasible`) binary-searches this
+    to reject negatives that are actually positives — the exact analog of the
+    reference's unused ``is_in_feasible`` (helpers.py:43-62).
+    """
+    s = user.astype(np.int64) + item.astype(np.int64)
+    h = (s * (s + 1)) // 2 + item.astype(np.int64)
+    h = np.unique(h)
+    pad = np.full(max(num_slots - h.shape[0], 0), np.iinfo(np.int64).max, np.int64)
+    return np.concatenate([h, pad])
+
+
+def sample_negative_feasible(
+    key: jax.Array,
+    user: jax.Array,
+    num_items: int,
+    member_hash: jax.Array,
+    num_rounds: int = 4,
+) -> jax.Array:
+    """Rejection-resampled negatives: re-draw (bounded rounds, static shapes)
+    whenever (user, candidate) is a known positive."""
+    b = user.shape[0]
+    neg = jax.random.randint(key, (b,), 0, num_items, dtype=jnp.int32)
+    for r in range(num_rounds):
+        key, sub = jax.random.split(key)
+        h = cantor_hash_pair(user, neg)
+        pos = jnp.searchsorted(member_hash, h)
+        pos = jnp.clip(pos, 0, member_hash.shape[0] - 1)
+        is_member = member_hash[pos] == h
+        redraw = jax.random.randint(sub, (b,), 0, num_items, dtype=jnp.int32)
+        neg = jnp.where(is_member, redraw, neg)
+    return neg

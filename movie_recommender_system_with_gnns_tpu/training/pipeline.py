@@ -1,0 +1,107 @@
+"""End-to-end glue: dataset → split → partitions → padded device batches → trainer.
+
+This is the TPU-native replacement for the reference driver path
+``MovieLensDataHandler.get_data_training`` + ``__main__``
+(data/dataset_handler.py:256-288, utils/train_test.py:259-293): everything the
+PyG ClusterData/DataLoader pipeline did, re-done with static shapes so a whole
+epoch runs only a handful of compiled XLA programs.
+
+Shape bucketing: cluster edge counts are padded up to a small set of bucket sizes
+(geometric, ×2) — each bucket compiles once; padding is zero-weight edges and
+masked triplets, proven loss-neutral by tests/test_padding.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..data.graph import COOGraph
+from ..data.movielens import MovieLensData, make_synthetic_movielens, split_edges
+from ..data.partition import partition_bipartite_greedy, partition_edges_random
+from ..ops.sampling import triplets_from_edges
+from ..ops.spmm import DeviceCOO
+from .train import ClusterBatch, build_eval_batch
+
+
+def _bucket(n: int, floor: int = 1024) -> int:
+    """Smallest power-of-two-ish bucket ≥ n (limits distinct compiled shapes)."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def build_cluster_batches(
+    parts: List[np.ndarray],
+    num_users: int,
+    num_nodes: int,
+    bucket_floor: int = 1024,
+) -> List[ClusterBatch]:
+    """Pad each cluster's edges/triplets to bucketed static shapes and upload."""
+    out: List[ClusterBatch] = []
+    for e in parts:
+        if e.shape[1] == 0:
+            continue  # reference also skips empty clusters (dataset_handler.py:310-312)
+        e_pad = _bucket(e.shape[1], bucket_floor)
+        g = DeviceCOO.from_host(COOGraph.build(e, num_nodes, pad_to=e_pad))
+        # positives = the user→item half; pad to half the edge bucket
+        b = triplets_from_edges(e, num_users, pad_to=e_pad // 2)
+        out.append(ClusterBatch(graph=g, batch=b, num_edges=int(e.shape[1])))
+    return out
+
+
+def prepare_training_data(
+    cfg: Config,
+    data: Optional[MovieLensData] = None,
+) -> Tuple[MovieLensData, List[ClusterBatch], tuple, tuple]:
+    """Dataset → (train clusters, val batch, test batch), all device-resident.
+
+    Returns ``(data, clusters, (val_graph, val_batch), (test_graph, test_batch))``.
+    """
+    if data is None:
+        if cfg.data.dataset == "synthetic" or not _csvs_exist(cfg):
+            data = make_synthetic_movielens(
+                cfg.data.synthetic_users,
+                cfg.data.synthetic_items,
+                cfg.data.synthetic_interactions,
+                seed=cfg.data.split_seed,
+            )
+        else:
+            from ..data.movielens import load_movielens
+            import os
+
+            data = load_movielens(
+                os.path.join(cfg.data.data_dir, "ratings.csv"),
+                os.path.join(cfg.data.data_dir, "movies.csv"),
+                min_rating=cfg.data.min_rating,
+            )
+
+    train_e, val_e, test_e = split_edges(
+        data, cfg.data.indexes_dir, cfg.data.train_size,
+        cfg.data.val_test_ratio, cfg.data.split_seed,
+    )
+    num_nodes = data.num_users + data.num_items
+
+    if cfg.train.use_clusters and cfg.train.num_clusters > 1:
+        parts = partition_bipartite_greedy(
+            train_e, data.num_users, num_nodes, cfg.train.num_clusters,
+            seed=cfg.data.split_seed,
+        )
+    else:
+        parts = [train_e]
+    clusters = build_cluster_batches(parts, data.num_users, num_nodes)
+
+    val = build_eval_batch(val_e, num_nodes, data.num_users)
+    test = build_eval_batch(test_e, num_nodes, data.num_users)
+    return data, clusters, val, test
+
+
+def _csvs_exist(cfg: Config) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(cfg.data.data_dir, "ratings.csv")) and os.path.exists(
+        os.path.join(cfg.data.data_dir, "movies.csv")
+    )

@@ -1,0 +1,238 @@
+"""Training engine: jitted train step, cluster-epoch loop, evaluation, driver.
+
+Capability parity with reference ``utils/train_test.py`` redesigned TPU-first:
+
+  * one pure jitted ``train_step(state, graph, batch, key)`` replacing the
+    eager per-cluster loop body (train_test.py:86-101): propagation + triplet
+    gather + negative sampling + BPR + global-norm clip (max 1.0,
+    train_test.py:95) + Adam (train_test.py:236) all fuse into one XLA program.
+  * cluster batches are padded to shared static shapes, so the whole epoch runs
+    a handful of compiled programs (no per-shape recompiles).
+  * evaluation (train_test.py:136-163) propagates on the *eval* edge set — the
+    reference's semantics: ``model(val_data.edge_index)`` — and computes both
+    the parity sampled-recall metric and standard Recall@k/NDCG@k.
+  * the multi-epoch driver (train_test.py:214-256) keeps histories, saves the
+    best checkpoint on val-recall improvement, and runs a final test eval.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models.lightgcn import LightGCNParams, init_params, propagate
+from ..ops.bpr import bpr_loss, bpr_loss_standard
+from ..ops.metrics import recall_ndcg_at_k, sampled_recall_at_k
+from ..ops.sampling import TripletBatch, sample_negative, triplets_from_edges
+from ..ops.spmm import DeviceCOO, spmm_segment
+from ..data.graph import COOGraph
+
+
+class TrainState(NamedTuple):
+    params: LightGCNParams
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """clip-by-global-norm(1.0) → Adam, matching train_test.py:95,:236."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        optax.adam(cfg.train.lr, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
+                   eps=cfg.train.adam_eps),
+    )
+
+
+def create_train_state(cfg: Config, num_users: int, num_items: int,
+                       key: Optional[jax.Array] = None) -> TrainState:
+    if key is None:
+        key = jax.random.PRNGKey(cfg.train.seed)
+    params = init_params(key, num_users, num_items, cfg.model.dim, cfg.model.init_std)
+    opt = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def compute_loss(
+    params: LightGCNParams,
+    graph: DeviceCOO,
+    batch: TripletBatch,
+    neg_item: jax.Array,
+    cfg: Config,
+    spmm: Callable = spmm_segment,
+) -> jax.Array:
+    """Propagate on the batch graph and evaluate the reference BPR loss on the
+    (user, pos, neg) triplets — ``compute_embeddings`` + ``bpr_loss``
+    (train_test.py:105-134, :18-51) in one pure function."""
+    users_final, items_final = propagate(
+        params, graph, spmm, cfg.model.num_layers, cfg.model.readout,
+    )
+    uf = users_final[batch.user]
+    ui = params.user_emb[batch.user]
+    pf = items_final[batch.pos_item]
+    pi = params.item_emb[batch.pos_item]
+    nf = items_final[neg_item]
+    ni = params.item_emb[neg_item]
+    return bpr_loss(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=batch.mask)
+
+
+def make_train_step(cfg: Config, spmm: Callable = spmm_segment):
+    """Build the jitted train step. ``graph``/``batch`` arrive as device arrays
+    with static shapes; ``num_items`` is closed over via params shape."""
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, graph: DeviceCOO, batch: TripletBatch,
+                   key: jax.Array) -> Tuple[TrainState, jax.Array]:
+        num_items = state.params.item_emb.shape[0]
+        neg = sample_negative(key, batch.user.shape[0], num_items)
+        loss, grads = jax.value_and_grad(compute_loss)(
+            state.params, graph, batch, neg, cfg, spmm
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Epoch loop over cluster batches (reference train(), train_test.py:66-103)
+# ---------------------------------------------------------------------------
+
+
+class ClusterBatch(NamedTuple):
+    """One padded training subgraph: device graph + its positive pairs."""
+
+    graph: DeviceCOO
+    batch: TripletBatch
+    num_edges: int          # true (unpadded) edge count — the loss weight w
+                            # (train_test.py:98-101)
+
+
+def train_epoch(
+    state: TrainState,
+    clusters: List[ClusterBatch],
+    train_step,
+    key: jax.Array,
+    shuffle: bool = True,
+) -> Tuple[TrainState, float]:
+    """One epoch over shuffled cluster batches; returns edge-weighted mean loss
+    (train_test.py:98-103)."""
+    order = np.arange(len(clusters))
+    if shuffle:
+        skey, key = jax.random.split(key)
+        order = np.asarray(jax.random.permutation(skey, len(clusters)))
+    total_loss, total_w = 0.0, 0
+    for i in order:
+        key, sub = jax.random.split(key)
+        cb = clusters[int(i)]
+        state, loss = train_step(state, cb.graph, cb.batch, sub)
+        total_loss += float(loss) * cb.num_edges
+        total_w += cb.num_edges
+    return state, total_loss / max(total_w, 1)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (reference evaluate(), train_test.py:136-163)
+# ---------------------------------------------------------------------------
+
+
+def make_eval_step(cfg: Config, spmm: Callable = spmm_segment):
+    @jax.jit
+    def eval_step(params: LightGCNParams, graph: DeviceCOO, batch: TripletBatch,
+                  key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        num_items = params.item_emb.shape[0]
+        nkey, rkey = jax.random.split(key)
+        neg = sample_negative(nkey, batch.user.shape[0], num_items)
+        loss = compute_loss(params, graph, batch, neg, cfg, spmm)
+        # parity recall on initial embeddings (train_test.py:157-159)
+        recall = sampled_recall_at_k(
+            rkey,
+            params.user_emb[batch.user],
+            params.item_emb[batch.pos_item],
+            params.item_emb[neg],
+            k=cfg.train.eval_top_k,
+            num_samples=cfg.train.recall_num_samples,
+            sample_size=cfg.train.recall_sample_size,
+        )
+        return loss, recall
+
+    return eval_step
+
+
+def build_eval_batch(edge_index: np.ndarray, num_nodes: int, num_users: int
+                     ) -> Tuple[DeviceCOO, TripletBatch]:
+    """Eval graphs propagate over their own edge set (train_test.py:150-153)."""
+    g = DeviceCOO.from_host(COOGraph.build(edge_index, num_nodes))
+    b = triplets_from_edges(edge_index, num_users)
+    return g, b
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch driver (reference train_model(), train_test.py:214-256)
+# ---------------------------------------------------------------------------
+
+
+def train_model(
+    cfg: Config,
+    state: TrainState,
+    clusters: List[ClusterBatch],
+    val: Tuple[DeviceCOO, TripletBatch],
+    test: Tuple[DeviceCOO, TripletBatch],
+    spmm: Callable = spmm_segment,
+    on_epoch_end: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    save_checkpoint: Optional[Callable[[TrainState, float], None]] = None,
+) -> Tuple[TrainState, Dict[str, List[float]]]:
+    train_step = make_train_step(cfg, spmm)
+    eval_step = make_eval_step(cfg, spmm)
+    key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    hist: Dict[str, List[float]] = {"train_loss": [], "val_loss": [], "val_recall": [],
+                                    "epoch_time_s": []}
+    best_recall = 0.0
+    for epoch in range(cfg.train.epochs):
+        key, ek, vk = jax.random.split(key, 3)
+        t0 = time.perf_counter()
+        state, train_loss = train_epoch(state, clusters, train_step, ek)
+        val_loss, val_recall = eval_step(state.params, val[0], val[1], vk)
+        val_loss, val_recall = float(val_loss), float(val_recall)
+        dt = time.perf_counter() - t0
+        hist["train_loss"].append(train_loss)
+        hist["val_loss"].append(val_loss)
+        hist["val_recall"].append(val_recall)
+        hist["epoch_time_s"].append(dt)
+        print(
+            f"Epoch: {epoch:03d}, Train Loss: {train_loss:.4f}, "
+            f"Val Loss: {val_loss:.4f}, Recall@k: {val_recall:.6f}, "
+            f"k={cfg.train.eval_top_k} ({dt:.2f}s)"
+        )
+        if val_recall > best_recall:
+            best_recall = val_recall
+            if save_checkpoint is not None:
+                save_checkpoint(state, val_recall)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, {k: v[-1] for k, v in hist.items()})
+
+    key, tk = jax.random.split(key)
+    test_loss, test_recall = eval_step(state.params, test[0], test[1], tk)
+    print(f"Test Loss: {float(test_loss):.4f}, Recall@k: {float(test_recall):.6f}, "
+          f"k={cfg.train.eval_top_k}")
+    hist["test_loss"] = [float(test_loss)]
+    hist["test_recall"] = [float(test_recall)]
+    return state, hist
+
+
+def save_histories(hist: Dict[str, List[float]], histories_dir: str) -> None:
+    """Persist training curves as .npy, mirroring train_test.py:289-291."""
+    os.makedirs(histories_dir, exist_ok=True)
+    np.save(os.path.join(histories_dir, "hist_train_loss.npy"), np.asarray(hist["train_loss"]))
+    np.save(os.path.join(histories_dir, "hist_val_loss.npy"), np.asarray(hist["val_loss"]))
+    np.save(os.path.join(histories_dir, "hist_val_recall.npy"), np.asarray(hist["val_recall"]))

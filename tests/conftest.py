@@ -1,0 +1,42 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax import.
+
+The reference has no test suite at all (SURVEY §4); this suite implements the
+strategy SURVEY §4 prescribes: synthetic-graph unit tests, torch-CPU golden
+parity tests, CPU-simulated multi-device mesh tests, and a small end-to-end
+convergence test.
+"""
+
+import os
+import sys
+
+# Must happen before jax initializes a backend: tests run on CPU with 8 virtual
+# devices so mesh/sharding code paths are exercised without TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from movie_recommender_system_with_gnns_tpu.data.movielens import (  # noqa: E402
+    make_synthetic_movielens,
+)
+
+
+@pytest.fixture(scope="session")
+def tiny_data():
+    """Small synthetic MovieLens-shaped dataset shared across tests."""
+    return make_synthetic_movielens(num_users=60, num_items=90, num_interactions=2000, seed=0)
+
+
+@pytest.fixture(scope="session")
+def tiny_graph(tiny_data):
+    return tiny_data.edge_index, tiny_data.num_users + tiny_data.num_items
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,86 @@
+"""Graph-structure tests: undirected doubling, GCN norm, COO/ELL equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from movie_recommender_system_with_gnns_tpu.data.graph import (
+    COOGraph, EllGraph, build_csr, compute_degrees, gcn_norm,
+)
+from movie_recommender_system_with_gnns_tpu.data.movielens import to_undirected
+from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+    DeviceCOO, DeviceELL, spmm_ell, spmm_segment,
+)
+
+
+def _dense_ahat(edge_index, num_nodes):
+    """NumPy oracle: Â = D^{-1/2} A D^{-1/2} as a dense matrix."""
+    a = np.zeros((num_nodes, num_nodes))
+    a[edge_index[1], edge_index[0]] = 1.0  # row = dst, col = src
+    deg = a.sum(axis=1)
+    with np.errstate(divide="ignore"):
+        d = 1.0 / np.sqrt(deg)
+    d[~np.isfinite(d)] = 0.0
+    return d[:, None] * a * d[None, :]
+
+
+def test_to_undirected_doubles_and_dedups():
+    e = np.array([[0, 1, 0], [2, 3, 2]])  # duplicate (0,2)
+    out = to_undirected(e, 4)
+    # {(0,2),(1,3),(2,0),(3,1)}
+    assert out.shape == (2, 4)
+    pairs = set(map(tuple, out.T.tolist()))
+    assert pairs == {(0, 2), (1, 3), (2, 0), (3, 1)}
+
+
+def test_gcn_norm_matches_dense_oracle(tiny_graph):
+    e, n = tiny_graph
+    w = gcn_norm(e, n)
+    ahat = _dense_ahat(e, n)
+    np.testing.assert_allclose(w, ahat[e[1], e[0]], rtol=1e-6)
+
+
+def test_spmm_segment_matches_dense(tiny_graph, rng):
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))
+    out = np.asarray(spmm_segment(coo, jnp.asarray(x)))
+    ref = _dense_ahat(e, n) @ x
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_ell_matches_segment(tiny_graph, rng):
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))
+    ell = DeviceELL.from_host(EllGraph.build(e, n))
+    a = np.asarray(spmm_segment(coo, jnp.asarray(x)))
+    b = np.asarray(spmm_ell(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_coo_padding_is_neutral(tiny_graph, rng):
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    small = DeviceCOO.from_host(COOGraph.build(e, n))
+    big = DeviceCOO.from_host(COOGraph.build(e, n, pad_to=4 * e.shape[1]))
+    np.testing.assert_allclose(
+        np.asarray(spmm_segment(small, jnp.asarray(x))),
+        np.asarray(spmm_segment(big, jnp.asarray(x))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_ell_covers_every_edge(tiny_graph):
+    e, n = tiny_graph
+    ell = EllGraph.build(e, n)
+    total = sum(int((b.w != 0).sum()) for b in ell.blocks)
+    w = gcn_norm(e, n)
+    assert total == int((w != 0).sum())
+
+
+def test_csr_roundtrip(tiny_graph):
+    e, n = tiny_graph
+    rowptr, col, w = build_csr(e, n)
+    assert rowptr[-1] == e.shape[1]
+    deg = compute_degrees(e, n)
+    np.testing.assert_array_equal(np.diff(rowptr), deg)

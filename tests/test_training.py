@@ -1,0 +1,110 @@
+"""Training-loop tests: step runs, loss decreases, checkpoint/resume, data split."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from movie_recommender_system_with_gnns_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from movie_recommender_system_with_gnns_tpu.data.movielens import split_edges
+from movie_recommender_system_with_gnns_tpu.training.checkpoint import (
+    load_params_if_exists, load_train_state, save_params, save_train_state,
+)
+from movie_recommender_system_with_gnns_tpu.training.pipeline import prepare_training_data
+from movie_recommender_system_with_gnns_tpu.training.train import (
+    create_train_state, make_eval_step, make_train_step, train_epoch, train_model,
+)
+
+
+def small_cfg(tmp_path, **train_kw):
+    return Config(
+        data=DataConfig(dataset="synthetic", synthetic_users=60, synthetic_items=90,
+                        synthetic_interactions=2000,
+                        indexes_dir=str(tmp_path / "indexes")),
+        model=ModelConfig(num_layers=2, dim=16),
+        train=TrainConfig(epochs=2, num_clusters=3,
+                          recall_sample_size=16, recall_num_samples=2,
+                          eval_top_k=10, **train_kw),
+    )
+
+
+def test_split_edges_persist_and_reload(tiny_data, tmp_path):
+    d = str(tmp_path / "idx")
+    tr1, va1, te1 = split_edges(tiny_data, d)
+    assert os.path.exists(os.path.join(d, "val_indices.npy"))
+    tr2, va2, te2 = split_edges(tiny_data, d)  # reload path: setdiff derivation
+    np.testing.assert_array_equal(tr1, tr2)
+    np.testing.assert_array_equal(va1, va2)
+    np.testing.assert_array_equal(te1, te2)
+    total = tr1.shape[1] + va1.shape[1] + te1.shape[1]
+    assert total == tiny_data.edge_index.shape[1]
+
+
+def test_train_epoch_decreases_loss(tmp_path):
+    cfg = small_cfg(tmp_path)
+    data, clusters, val, test = prepare_training_data(cfg)
+    assert len(clusters) >= 1
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    step = make_train_step(cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for ep in range(4):
+        key, sub = jax.random.split(key)
+        state, loss = train_epoch(state, clusters, step, sub)
+        losses.append(loss)
+    # reference loss is -softplus-margin + reg: training drives it DOWN
+    assert losses[-1] < losses[0]
+
+
+def test_train_model_driver_and_histories(tmp_path):
+    cfg = small_cfg(tmp_path)
+    data, clusters, val, test = prepare_training_data(cfg)
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    saved = {}
+
+    def save_cb(st, recall):
+        saved["recall"] = recall
+
+    state, hist = train_model(cfg, state, clusters, val, test, save_checkpoint=save_cb)
+    assert len(hist["train_loss"]) == cfg.train.epochs
+    assert "test_loss" in hist
+    assert "recall" in saved  # best-checkpoint callback fired
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg(tmp_path)
+    state = create_train_state(cfg, 30, 40)
+    p = str(tmp_path / "model.npz")
+    save_params(p, state.params, meta={"dim": 16})
+    fresh = create_train_state(cfg, 30, 40, key=jax.random.PRNGKey(9))
+    resumed = load_params_if_exists(p, fresh.params)
+    np.testing.assert_array_equal(np.asarray(resumed.user_emb), np.asarray(state.params.user_emb))
+
+    sp = str(tmp_path / "state.npz")
+    save_train_state(sp, state)
+    restored = load_train_state(sp, fresh)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params.item_emb), np.asarray(state.params.item_emb)
+    )
+
+
+def test_checkpoint_shape_mismatch_starts_fresh(tmp_path):
+    cfg = small_cfg(tmp_path)
+    state = create_train_state(cfg, 30, 40)
+    p = str(tmp_path / "model.npz")
+    save_params(p, state.params)
+    other = create_train_state(cfg, 31, 40, key=jax.random.PRNGKey(3))
+    out = load_params_if_exists(p, other.params)
+    assert out.user_emb.shape == (31, 16)
+
+
+def test_eval_step_runs(tmp_path):
+    cfg = small_cfg(tmp_path)
+    data, clusters, val, test = prepare_training_data(cfg)
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    ev = make_eval_step(cfg)
+    loss, recall = ev(state.params, val[0], val[1], jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(recall) <= 1.0
