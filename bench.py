@@ -1,0 +1,217 @@
+"""Headline benchmark: MovieLens-25M-scale LightGCN training epoch on TPU.
+
+Prints ONE JSON line:
+  {"metric": "ml25m_epoch_time_s", "value": <s>, "unit": "s", "vs_baseline": <x>, ...}
+
+Setup mirrors the reference's training regime (LightGCN 3-layer d=64, BPR, Adam,
+100 Cluster-GCN partitions — reference utils/train_test.py:274,:287,
+data/dataset_handler.py:256) on a synthetic power-law bipartite graph with
+MovieLens-25M's published statistics (162,541 users / 59,047 movies / ~12.4M
+interactions after the rating≥4 filter — README.md:50, eda.py:76-108; the real
+download needs egress this environment doesn't have).
+
+``vs_baseline`` compares against a torch-CPU oracle that re-expresses the
+reference's exact math (manual scatter-add LGConv + BPR + Adam + clip). The
+reference repo publishes no performance numbers (BASELINE.md), and no GPU exists
+here, so torch-CPU epoch time at the same scale is the reproducible baseline.
+The oracle is measured once and cached in BENCH_BASELINE.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from movie_recommender_system_with_gnns_tpu.utils.compilation_cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+SCALES = {
+    # users, items, interactions, clusters, layers, dim
+    "full": dict(users=162_541, items=59_047, interactions=12_400_000,
+                 clusters=100, layers=3, dim=64),
+    "small": dict(users=16_254, items=5_905, interactions=1_240_000,
+                  clusters=10, layers=3, dim=64),
+    "tiny": dict(users=943, items=1_682, interactions=100_000,
+                 clusters=4, layers=3, dim=64),
+}
+
+
+def build_problem(scale: dict, seed: int = 0):
+    from movie_recommender_system_with_gnns_tpu.data.movielens import make_synthetic_movielens
+    from movie_recommender_system_with_gnns_tpu.data.partition import partition_bipartite_greedy
+
+    t0 = time.time()
+    data = make_synthetic_movielens(scale["users"], scale["items"],
+                                    scale["interactions"], seed=seed)
+    parts = partition_bipartite_greedy(
+        data.edge_index, data.num_users, data.num_users + data.num_items,
+        scale["clusters"], seed=seed,
+    )
+    parts = [p for p in parts if p.shape[1] > 0]
+    kept = sum(p.shape[1] for p in parts)
+    sys.stderr.write(
+        f"[bench] built {data.num_users}x{data.num_items} graph, "
+        f"{data.edge_index.shape[1]} edges, {len(parts)} clusters "
+        f"(retention {kept / data.edge_index.shape[1]:.2%}) in {time.time()-t0:.1f}s\n"
+    )
+    return data, parts
+
+
+def bench_tpu_epoch(data, parts, scale, epochs=3):
+    """Timed cluster epochs of the jitted TPU trainer; returns best epoch secs."""
+    import jax
+
+    from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig, TrainConfig
+    from movie_recommender_system_with_gnns_tpu.training.pipeline import build_cluster_batches
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        create_train_state, make_train_step, train_epoch,
+    )
+
+    cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]))
+    n = data.num_users + data.num_items
+    t0 = time.time()
+    clusters = build_cluster_batches(parts, data.num_users, n, bucket_floor=4096)
+    sys.stderr.write(f"[bench] device batches built in {time.time()-t0:.1f}s\n")
+
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    step = make_train_step(cfg)
+    key = jax.random.PRNGKey(0)
+
+    # warmup epoch compiles every bucket shape
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    state, _ = train_epoch(state, clusters, step, sub)
+    jax.block_until_ready(state.params.user_emb)
+    sys.stderr.write(f"[bench] warmup epoch (incl. compile): {time.time()-t0:.1f}s\n")
+
+    times = []
+    for _ in range(epochs):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, loss = train_epoch(state, clusters, step, sub)
+        jax.block_until_ready(state.params.user_emb)
+        times.append(time.time() - t0)
+    sys.stderr.write(f"[bench] epoch times: {[f'{t:.2f}' for t in times]}, "
+                     f"final loss {loss:.4f}\n")
+    return min(times)
+
+
+def bench_torch_cpu_epoch(data, parts, scale, max_clusters=None):
+    """Torch-CPU oracle epoch (reference math re-expressed; see
+    tests/test_parity_torch.py for the parity proof). Extrapolates linearly when
+    ``max_clusters`` limits the measured subset."""
+    import torch
+
+    torch.manual_seed(0)
+    nu, ni = data.num_users, data.num_items
+    n = nu + ni
+    dim, layers = scale["dim"], scale["layers"]
+    user_w = torch.normal(0, 0.01, (nu, dim), requires_grad=True)
+    item_w = torch.normal(0, 0.01, (ni, dim), requires_grad=True)
+    opt = torch.optim.Adam([user_w, item_w], lr=1e-3)
+
+    sel = parts if max_clusters is None else parts[:max_clusters]
+
+    def cluster_step(e):
+        src = torch.from_numpy(e[0].astype(np.int64))
+        dst = torch.from_numpy(e[1].astype(np.int64))
+        deg = torch.zeros(n).index_add_(0, dst, torch.ones_like(dst, dtype=torch.float))
+        dinv = deg.pow(-0.5)
+        dinv[torch.isinf(dinv)] = 0.0
+        w = dinv[src] * dinv[dst]
+        emb = torch.cat([user_w, item_w])
+        embs = [emb]
+        for _ in range(layers):
+            out = torch.zeros_like(emb)
+            out.index_add_(0, dst, emb[src] * w[:, None])
+            emb = out
+            embs.append(emb)
+        final = 1.0 / (layers + 1) * torch.stack(embs, 1).mean(1)
+        fu, fi = final[:nu], final[nu:]
+        um = src < nu
+        users = src[um]
+        pos = dst[um] - nu
+        neg = torch.randint(0, ni, (pos.shape[0],))
+        uf, ui = fu[users], user_w[users]
+        pf, pi = fi[pos], item_w[pos]
+        nf, nzi = fi[neg], item_w[neg]
+        reg = 5e-3 * (ui * ui + pi * pi + nzi * nzi).mean()
+        nrm = lambda x: x / x.norm(dim=1, keepdim=True)
+        cp = (nrm(uf) * nrm(pf)).sum(1)
+        cn = (nrm(uf) * nrm(nf)).sum(1)
+        loss = -(torch.nn.functional.softplus(10 * (cp - cn)).mean() / 10.0) + reg
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([user_w, item_w], max_norm=1.0)
+        opt.step()
+
+    # warmup on the smallest cluster
+    cluster_step(min(sel, key=lambda e: e.shape[1]))
+    t0 = time.time()
+    for e in sel:
+        cluster_step(e)
+    dt = time.time() - t0
+    return dt * (len(parts) / len(sel))
+
+
+def get_baseline(data, parts, scale, scale_name):
+    key = f"{scale_name}-torchcpu-epoch-s"
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    if key in cache:
+        return cache[key], True
+    sys.stderr.write("[bench] measuring torch-CPU baseline (one-time, cached)...\n")
+    max_c = 10 if scale_name == "full" else None
+    t = bench_torch_cpu_epoch(data, parts, scale, max_clusters=max_c)
+    cache[key] = t
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=2)
+    return t, False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="full", choices=list(SCALES))
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+    scale = SCALES[args.scale]
+
+    data, parts = build_problem(scale)
+    epoch_s = bench_tpu_epoch(data, parts, scale, epochs=args.epochs)
+
+    if args.skip_baseline:
+        baseline_s = None
+    else:
+        baseline_s, cached = get_baseline(data, parts, scale, args.scale)
+        sys.stderr.write(f"[bench] torch-CPU baseline epoch: {baseline_s:.1f}s"
+                         f" ({'cached' if cached else 'measured'})\n")
+
+    edges = data.edge_index.shape[1]
+    result = {
+        "metric": f"ml25m_epoch_time_s" if args.scale == "full" else f"{args.scale}_epoch_time_s",
+        "value": round(epoch_s, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / epoch_s, 2) if baseline_s else None,
+        "edges_per_s": round(edges / epoch_s),
+        "config": f"LightGCN L={scale['layers']} d={scale['dim']} "
+                  f"clusters={scale['clusters']} U={data.num_users} I={data.num_items} E={edges}",
+        "baseline": "torch-cpu reference-math epoch (no GPU available; reference publishes no numbers)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

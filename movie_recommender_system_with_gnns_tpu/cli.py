@@ -1,0 +1,215 @@
+"""Command-line entrypoints: train, recommend (interactive + one-shot), eda.
+
+The reference's "CLI" is ``python utils/train_test.py`` (train driver __main__,
+train_test.py:259-293) and ``python utils/recommend.py`` (interactive input()
+loop, recommend.py:115-156). This module gives the same capabilities behind one
+argparse front end:
+
+    python -m movie_recommender_system_with_gnns_tpu.cli train   [--dataset ...]
+    python -m movie_recommender_system_with_gnns_tpu.cli recommend [--user-id N | --movie-id N]
+    python -m movie_recommender_system_with_gnns_tpu.cli eda
+
+plus config overrides (--epochs, --dim, --layers, --clusters, --lr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .config import Config, DataConfig, ModelConfig, TrainConfig
+from .utils.compilation_cache import enable_compilation_cache
+
+
+def _build_cfg(args) -> Config:
+    data = DataConfig(
+        dataset=args.dataset,
+        data_dir=args.data_dir or f"data/movielens-{args.dataset.replace('ml-', '')}",
+        indexes_dir=args.indexes_dir,
+        synthetic_users=args.synthetic_users,
+        synthetic_items=args.synthetic_items,
+        synthetic_interactions=args.synthetic_interactions,
+    )
+    model = ModelConfig(num_layers=args.layers, dim=args.dim, readout=args.readout)
+    train = TrainConfig(epochs=args.epochs, lr=args.lr, num_clusters=args.clusters,
+                        checkpoint_path=args.checkpoint)
+    return Config(data=data, model=model, train=train)
+
+
+def cmd_train(args) -> int:
+    """Reference train_test.py __main__ (:259-293): build data, resume if a
+    checkpoint exists, train, persist histories, plot."""
+    import jax
+
+    from .training.checkpoint import load_params_if_exists, save_params
+    from .training.pipeline import prepare_training_data
+    from .training.train import create_train_state, save_histories, train_model
+
+    cfg = _build_cfg(args)
+    print(f"devices: {jax.devices()}")
+    data, clusters, val, test = prepare_training_data(cfg)
+    print(f"Number of users: {data.num_users}")
+    print(f"Number of items: {data.num_items}")
+    print(f"Number of relevant interactions: {data.edge_index.shape[1]}")
+
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    if cfg.train.resume:
+        state = state._replace(
+            params=load_params_if_exists(cfg.train.checkpoint_path, state.params))
+
+    def save_cb(st, recall):
+        save_params(cfg.train.checkpoint_path, st.params,
+                    meta={"val_recall": recall, "config": cfg.to_json()})
+
+    state, hist = train_model(cfg, state, clusters, val, test, save_checkpoint=save_cb)
+    save_histories(hist, cfg.train.histories_dir)
+    try:
+        from .utils.visualizations import plot_histories
+
+        out = plot_histories(cfg.train.histories_dir)
+        print(f"history plot: {out}")
+    except Exception as e:  # viz must never fail training
+        print(f"history plot skipped: {e}")
+    return 0
+
+
+def cmd_recommend(args) -> int:
+    """Reference recommend.py __main__ (:115-156): load checkpoint, resolve the
+    user (prompting interactively when no --user-id), print top-10 with
+    train-seen exclusion, emit plots."""
+    from .data.movielens import split_edges
+    from .serving.recommend import (
+        recommend_from_movie, recommend_from_user, train_seen_items,
+    )
+    from .training.checkpoint import load_params
+    from .training.pipeline import prepare_training_data
+
+    cfg = _build_cfg(args)
+    data, _, _, _ = prepare_training_data(cfg)
+    if not os.path.exists(cfg.train.checkpoint_path):
+        print(f"checkpoint {cfg.train.checkpoint_path} not found — train first")
+        return 1
+    params, meta = load_params(cfg.train.checkpoint_path)
+
+    if args.movie_id is not None:
+        out = recommend_from_movie(params, args.movie_id, data, top_k=args.top_k)
+        if "error" in out:
+            print(out["error"])
+            return 1
+        print(f"Top {args.top_k} users for movie {args.movie_id}:")
+        for i, rec in enumerate(out["top_users"], 1):
+            print(f"{i}. user {rec['user_id']} (Score: {rec['score']:.4f})")
+        return 0
+
+    user_id = args.user_id
+    if user_id is None:
+        suggested = int(data.user_ids[0])
+        print(f"Please enter a user ID (suggested user: {suggested}):")
+        user_id = int(input())
+
+    uidx = int(data.user_index(user_id))
+    excluded = None
+    if uidx >= 0:
+        train_e, _, _ = split_edges(data, cfg.data.indexes_dir,
+                                    cfg.data.train_size, cfg.data.val_test_ratio,
+                                    cfg.data.split_seed)
+        excluded = train_seen_items(train_e, data.num_users, uidx)
+
+    out = recommend_from_user(params, user_id, data, excluded, top_k=args.top_k)
+    if "error" in out:
+        print(out["error"])
+        return 1
+    print(f"Top {args.top_k} Recommendations for user {user_id}:")
+    for i, rec in enumerate(out["recommendations"], 1):
+        print(f"{i}. {rec['title']} (Score: {rec['score']:.4f})")
+
+    if args.plots:
+        try:
+            from .utils.visualizations import (
+                analyze_user_recommendations, plot_recommendations,
+            )
+
+            print("bar chart:", plot_recommendations(out["recommendations"], user_id))
+            print("analysis:", analyze_user_recommendations(params, user_id, data))
+        except Exception as e:
+            print(f"plots skipped: {e}")
+    return 0
+
+
+def cmd_eda(args) -> int:
+    """Reference data/eda.py: dataset statistics report."""
+    from .utils.eda import eda_report
+
+    cfg = _build_cfg(args)
+    ratings_path = os.path.join(cfg.data.data_dir, "ratings.csv")
+    if os.path.exists(ratings_path):
+        import pandas as pd
+
+        ratings = pd.read_csv(ratings_path, usecols=["userId", "movieId", "rating"])
+    else:
+        import pandas as pd
+
+        from .data.movielens import make_synthetic_movielens
+
+        print("(no CSVs found — reporting on the synthetic dataset)")
+        d = make_synthetic_movielens(cfg.data.synthetic_users,
+                                     cfg.data.synthetic_items,
+                                     cfg.data.synthetic_interactions)
+        e = d.edge_index
+        fwd = e[0] < d.num_users
+        ratings = pd.DataFrame({
+            "userId": d.raw_user_id(e[0][fwd]),
+            "movieId": d.raw_movie_id(e[1][fwd] - d.num_users),
+            "rating": 4.0,
+        })
+    eda_report(ratings, min_rating=cfg.data.min_rating)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="movie_recommender_system_with_gnns_tpu")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                    help="force a JAX platform (default: environment's)")
+    ap.add_argument("--dataset", default="synthetic",
+                    help="ml-25m | ml-1m | ml-100k | synthetic")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--indexes-dir", default="data/indexes")
+    ap.add_argument("--checkpoint", default="best_model.npz")
+    ap.add_argument("--epochs", type=int, default=3)          # train_test.py:287
+    ap.add_argument("--lr", type=float, default=1e-3)         # train_test.py:216
+    ap.add_argument("--dim", type=int, default=64)            # train_test.py:274
+    ap.add_argument("--layers", type=int, default=3)          # train_test.py:274
+    ap.add_argument("--clusters", type=int, default=100)      # dataset_handler.py:256
+    ap.add_argument("--readout", default="reference", choices=["reference", "standard"])
+    ap.add_argument("--synthetic-users", type=int, default=943)
+    ap.add_argument("--synthetic-items", type=int, default=1682)
+    ap.add_argument("--synthetic-interactions", type=int, default=100_000)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("train", help="train the LightGCN model")
+    pr = sub.add_parser("recommend", help="top-k retrieval")
+    pr.add_argument("--user-id", type=int, default=None)
+    pr.add_argument("--movie-id", type=int, default=None)
+    pr.add_argument("--top-k", type=int, default=10)
+    pr.add_argument("--plots", action="store_true")
+    sub.add_parser("eda", help="dataset statistics report")
+
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms",
+                          "axon" if args.platform == "tpu" else args.platform)
+    enable_compilation_cache()
+    if args.cmd == "train":
+        return cmd_train(args)
+    if args.cmd == "recommend":
+        return cmd_recommend(args)
+    if args.cmd == "eda":
+        return cmd_eda(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,6 +52,24 @@ def partition_bipartite_greedy(
     it = (tail[fwd] - num_users).astype(np.int64)
     num_items = num_nodes - num_users
 
+    from . import native
+
+    if native.available():
+        # C++ fast path (native/graphcore.cpp gc_partition_greedy) — same
+        # algorithm; kept-edge sets are identical to the NumPy path
+        part_of_user, part_of_item, _ = native.partition_greedy(
+            u, it, num_users, num_items, num_parts, seed)
+        ep = part_of_user[u]
+        keep = ep == part_of_item[it]
+        u_k, it_k, p_k = u[keep], it[keep], ep[keep]
+        out: List[np.ndarray] = []
+        for p in range(num_parts):
+            m = p_k == p
+            uu, ii = u_k[m], it_k[m] + num_users
+            e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
+            out.append(e)
+        return out
+
     u_deg = np.bincount(u, minlength=num_users)
     order = np.argsort(-u_deg, kind="stable")
     part_of_user = np.empty(num_users, dtype=np.int32)

@@ -1,0 +1,113 @@
+"""Maximum-inner-product-search (MIPS) top-k retrieval kernels.
+
+The reference's serving path scores one query against the FULL catalog with a
+dense matmul then a full descending sort (reference utils/recommend.py:39-44,
+:94-98 — ``torch.sort`` over all items). TPU-native redesign:
+
+  * :func:`mips_topk` — batched queries × blocked catalog: per-block matmul
+    (MXU) + running top-k merge via ``jax.lax.top_k``; never materializes the
+    full (Q, N) score matrix, never full-sorts.
+  * :func:`mips_topk_sharded` (parallel/sharding.py wires the mesh) — each
+    device scores its row shard of the catalog, local top-k, then a global
+    all-gather + merge of k·D candidates — the distributed top-k merge from
+    BASELINE.json's north star.
+  * exclusion masks (train-seen items, recommend.py:48-50) are applied as
+    −inf *inside* the scoring loop, so exclusion is free.
+
+Scores use L2-normalized embeddings = cosine similarity, matching
+recommend.py:39-42.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bpr import normalize_embedding
+
+NEG_INF = -1e30
+
+
+@partial(jax.jit, static_argnames=("k", "block", "normalize"))
+def mips_topk(
+    query: jax.Array,               # (Q, d)
+    catalog: jax.Array,             # (N, d)
+    k: int = 10,
+    exclude_mask: Optional[jax.Array] = None,   # (Q, N) bool — True = exclude
+    block: int = 8192,
+    normalize: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blocked cosine/MIPS top-k: returns (scores (Q, k), indices (Q, k)).
+
+    The catalog is scanned in ``block``-item tiles; a (Q, k + block) merge
+    buffer keeps the running winners, so HBM traffic is O(N·d) with no (Q, N)
+    intermediate.
+    """
+    q = normalize_embedding(query) if normalize else query
+    c = normalize_embedding(catalog) if normalize else catalog
+    n = c.shape[0]
+    nq = q.shape[0]
+    pad = (-n) % block
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad, c.shape[1]), c.dtype)], axis=0)
+    n_pad = n + pad
+    num_blocks = n_pad // block
+    c_blocks = c.reshape(num_blocks, block, -1)
+
+    # derive the init carry from the operands so its varying-axes (vma) match
+    # the scan body outputs when running inside shard_map (a literal jnp.full
+    # would be axis-invariant and trip the carry type check). The where() makes
+    # this exactly 0 even if c contains NaN (zero-norm rows).
+    zf = jnp.where(jnp.isnan(c[0, 0] + q[0, 0]), 0.0, 0.0).astype(q.dtype)
+    zi = zf.astype(jnp.int32)
+    init_scores = jnp.broadcast_to(zf + jnp.asarray(NEG_INF, q.dtype), (nq, k))
+    init_idx = jnp.broadcast_to(zi, (nq, k))
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        blk, bidx = inp
+        s = q @ blk.T                                 # (Q, block) — MXU
+        col = jax.lax.broadcasted_iota(jnp.int32, (nq, block), 1) + bidx * block
+        valid = col < n
+        if exclude_mask is not None:
+            excl = jax.vmap(lambda m, c_: m[c_], in_axes=(0, 0))(exclude_mask, jnp.clip(col, 0, n - 1))
+            valid = valid & ~excl
+        s = jnp.where(valid, s, NEG_INF)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        top_s, pos = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    (scores, idx), _ = jax.lax.scan(
+        body, (init_scores, init_idx),
+        (c_blocks, jnp.arange(num_blocks)),
+    )
+    return scores, idx
+
+
+def merge_topk(
+    scores: jax.Array,   # (P, Q, k) per-shard winners
+    indices: jax.Array,  # (P, Q, k) GLOBAL indices
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge per-shard top-k candidate sets into global top-k (the reduction
+    step of the distributed MIPS)."""
+    p, q, kk = scores.shape
+    s = jnp.transpose(scores, (1, 0, 2)).reshape(q, p * kk)
+    i = jnp.transpose(indices, (1, 0, 2)).reshape(q, p * kk)
+    top_s, pos = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(i, pos, axis=1)
+    return top_s, top_i
+
+
+def full_sort_scores(query: jax.Array, catalog: jax.Array, normalize: bool = True
+                     ) -> jax.Array:
+    """Reference-semantics full score vector (recommend.py:39-44) — kept as the
+    correctness oracle for mips_topk tests."""
+    q = normalize_embedding(query) if normalize else query
+    c = normalize_embedding(catalog) if normalize else catalog
+    return q @ c.T

@@ -1,0 +1,106 @@
+"""Serving / retrieval layer: top-10 user→movie and movie→user recommendations.
+
+Capability parity with reference ``utils/recommend.py`` (recommend_from_user :12-63,
+recommend_from_movie :65-113, interactive CLI :115-156), redesigned TPU-first:
+
+  * scores are cosine similarities of **layer-0 embedding tables** — the
+    reference's serving contract (get_embeddings returns raw table rows,
+    light_gcn.py:55-61; SURVEY §3.2) — via the blocked :func:`ops.topk.mips_topk`
+    kernel instead of a full sort (recommend.py:44).
+  * train-seen exclusion is a vectorized −inf mask inside the kernel instead of a
+    Python ``in`` loop over sorted indices (recommend.py:48-50).
+  * raw-id ↔ dense-index translation uses O(1) inverse arrays instead of the
+    O(N) ``list(map.keys())[list(map.values()).index(...)]`` (recommend.py:52).
+  * return schema matches the reference exactly: ``{'recommendations': [{'title',
+    'score'}]}`` / ``{'top_users': [{'user_id', 'score'}]}`` and
+    ``{'error': 'Invalid user ID'}`` on unknown ids (recommend.py:32-33, :84-85).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.movielens import MovieLensData
+from ..models.lightgcn import LightGCNParams
+from ..ops.topk import mips_topk
+
+
+def _exclusion_mask(num_cols: int, excluded: Optional[Sequence[int]]) -> Optional[jnp.ndarray]:
+    if excluded is None:
+        return None
+    m = np.zeros((1, num_cols), dtype=bool)
+    idx = np.asarray(excluded, dtype=np.int64)
+    idx = idx[(idx >= 0) & (idx < num_cols)]
+    m[0, idx] = True
+    return jnp.asarray(m)
+
+
+def recommend_from_user(
+    params: LightGCNParams,
+    user_id: int,
+    data: MovieLensData,
+    excluded_train_items: Optional[Sequence[int]] = None,
+    top_k: int = 10,
+) -> Dict[str, Union[str, List[Dict[str, Any]]]]:
+    """Top-k movies for a raw userId (reference recommend_from_user, :12-63)."""
+    uidx = int(data.user_index(user_id))
+    if uidx < 0:
+        return {"error": "Invalid user ID"}
+    query = params.user_emb[uidx][None, :]
+    mask = _exclusion_mask(params.item_emb.shape[0], excluded_train_items)
+    scores, idx = mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask)
+    scores, idx = np.asarray(scores[0]), np.asarray(idx[0])
+    recs = []
+    for s, i in zip(scores, idx):
+        raw = int(data.raw_movie_id(int(i)))
+        recs.append({"title": data.title_of(raw), "movieId": raw, "score": float(s)})
+    return {"recommendations": recs}
+
+
+def recommend_from_movie(
+    params: LightGCNParams,
+    movie_id: int,
+    data: MovieLensData,
+    excluded_train_users: Optional[Sequence[int]] = None,
+    top_k: int = 10,
+) -> Dict[str, Union[str, List[Dict[str, Any]]]]:
+    """Top-k users for a raw movieId (reference recommend_from_movie, :65-113)."""
+    node = int(data.movie_index(movie_id))
+    if node < 0:
+        return {"error": "Invalid movie ID"}
+    iidx = node - data.num_users  # reference adjusts the offset at :87
+    query = params.item_emb[iidx][None, :]
+    mask = _exclusion_mask(params.user_emb.shape[0], excluded_train_users)
+    scores, idx = mips_topk(query, params.user_emb, k=top_k, exclude_mask=mask)
+    scores, idx = np.asarray(scores[0]), np.asarray(idx[0])
+    users = [
+        {"user_id": int(data.raw_user_id(int(i))), "score": float(s)}
+        for s, i in zip(scores, idx)
+    ]
+    return {"top_users": users}
+
+
+def train_seen_items(train_edge_index: np.ndarray, num_users: int, user_index: int
+                     ) -> np.ndarray:
+    """Item indices the user interacted with in train (exclusion list,
+    reference recommend.py:141-142)."""
+    head, tail = train_edge_index[0], train_edge_index[1]
+    m = (head == user_index) & (tail >= num_users)
+    return (tail[m] - num_users).astype(np.int64)
+
+
+def batch_recommend_users(
+    params: LightGCNParams,
+    user_indices: np.ndarray,
+    exclude_mask: Optional[np.ndarray] = None,   # (B, num_items) bool
+    top_k: int = 10,
+):
+    """Batched retrieval for many users at once — the production serving shape
+    the reference lacks (it scores one user per call). Returns (scores, item
+    indices), both (B, k)."""
+    query = params.user_emb[jnp.asarray(user_indices)]
+    mask = jnp.asarray(exclude_mask) if exclude_mask is not None else None
+    return mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask)

@@ -39,13 +39,24 @@ def build_cluster_batches(
     num_users: int,
     num_nodes: int,
     bucket_floor: int = 1024,
+    shared_shape: bool = True,
 ) -> List[ClusterBatch]:
-    """Pad each cluster's edges/triplets to bucketed static shapes and upload."""
+    """Pad each cluster's edges/triplets to bucketed static shapes and upload.
+
+    ``shared_shape=True`` pads every cluster to ONE common bucket so the whole
+    epoch is a single compiled program (remote XLA compiles are expensive on
+    this platform); padding is zero-weight edges + masked triplets, which tests
+    prove loss-neutral.
+    """
+    sizes = [e.shape[1] for e in parts if e.shape[1] > 0]
+    if not sizes:
+        return []
+    common = _bucket(max(sizes), bucket_floor) if shared_shape else None
     out: List[ClusterBatch] = []
     for e in parts:
         if e.shape[1] == 0:
             continue  # reference also skips empty clusters (dataset_handler.py:310-312)
-        e_pad = _bucket(e.shape[1], bucket_floor)
+        e_pad = common if common is not None else _bucket(e.shape[1], bucket_floor)
         g = DeviceCOO.from_host(COOGraph.build(e, num_nodes, pad_to=e_pad))
         # positives = the user→item half; pad to half the edge bucket
         b = triplets_from_edges(e, num_users, pad_to=e_pad // 2)

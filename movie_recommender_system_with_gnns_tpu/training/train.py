@@ -88,7 +88,7 @@ def make_train_step(cfg: Config, spmm: Callable = spmm_segment):
     with static shapes; ``num_items`` is closed over via params shape."""
     opt = make_optimizer(cfg)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, graph: DeviceCOO, batch: TripletBatch,
                    key: jax.Array) -> Tuple[TrainState, jax.Array]:
         num_items = state.params.item_emb.shape[0]
@@ -130,14 +130,18 @@ def train_epoch(
     if shuffle:
         skey, key = jax.random.split(key)
         order = np.asarray(jax.random.permutation(skey, len(clusters)))
-    total_loss, total_w = 0.0, 0
-    for i in order:
-        key, sub = jax.random.split(key)
+    # pre-split step keys once; keep losses on device until the epoch ends so
+    # the hot loop never blocks on a host sync
+    keys = jax.random.split(key, len(order))
+    losses = []
+    total_w = 0
+    for j, i in enumerate(order):
         cb = clusters[int(i)]
-        state, loss = train_step(state, cb.graph, cb.batch, sub)
-        total_loss += float(loss) * cb.num_edges
+        state, loss = train_step(state, cb.graph, cb.batch, keys[j])
+        losses.append(loss * cb.num_edges)
         total_w += cb.num_edges
-    return state, total_loss / max(total_w, 1)
+    total = jnp.sum(jnp.stack(losses)) if losses else jnp.zeros(())
+    return state, float(total) / max(total_w, 1)
 
 
 # ---------------------------------------------------------------------------

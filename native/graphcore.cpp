@@ -1,0 +1,139 @@
+// graphcore: native host-side graph runtime for the TPU LightGCN framework.
+//
+// TPU-native replacement for the reference's external native dependencies
+// (SURVEY §2.3): PyG's ClusterData → METIS C partitioner (reference
+// data/dataset_handler.py:273) and torch-sparse's CSR machinery. The TPU does
+// the math; this library does the irregular host-side graph work that NumPy is
+// slow at on 25M-edge inputs:
+//
+//   * gc_build_csr        — dst-sorted CSR (rowptr/col/weight) with symmetric
+//                           GCN normalization (counting sort, O(E))
+//   * gc_partition_greedy — degree-balanced snake user assignment + majority-
+//                           vote item assignment (the METIS-free Cluster-GCN
+//                           partitioner; same algorithm as
+//                           data/partition.py::partition_bipartite_greedy)
+//   * gc_to_undirected    — doubling + sort + dedup of the bipartite edge list
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image). All buffers are
+// caller-allocated; functions return element counts or negative error codes.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Build dst-sorted CSR with GCN-normalized weights.
+//   src, dst: E global node ids; n: node count.
+//   out_rowptr: n+1 int64; out_col: E int32; out_w: E float.
+int64_t gc_build_csr(const int32_t* src, const int32_t* dst, int64_t e,
+                     int64_t n, int64_t* out_rowptr, int32_t* out_col,
+                     float* out_w) {
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t i = 0; i < e; ++i) deg[dst[i]]++;
+  out_rowptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) out_rowptr[i + 1] = out_rowptr[i] + deg[i];
+  std::vector<float> dinv(n);
+  for (int64_t i = 0; i < n; ++i)
+    dinv[i] = deg[i] > 0 ? 1.0f / std::sqrt(static_cast<float>(deg[i])) : 0.0f;
+  std::vector<int64_t> cursor(out_rowptr, out_rowptr + n);
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t p = cursor[dst[i]]++;
+    out_col[p] = src[i];
+    out_w[p] = dinv[src[i]] * dinv[dst[i]];
+  }
+  return e;
+}
+
+// Degree-balanced greedy bipartite partition (Cluster-GCN analog).
+//   u, it: the E_fwd user→item half-edges (dense user idx / dense item idx).
+//   out_part_user: num_users int32; out_part_item: num_items int32.
+// Returns number of intra-cluster half-edges kept.
+int64_t gc_partition_greedy(const int32_t* u, const int32_t* it, int64_t e,
+                            int64_t num_users, int64_t num_items,
+                            int32_t num_parts, uint64_t seed,
+                            int32_t* out_part_user, int32_t* out_part_item) {
+  // user degrees
+  std::vector<int64_t> udeg(num_users, 0);
+  for (int64_t i = 0; i < e; ++i) udeg[u[i]]++;
+  // order users by degree desc (stable)
+  std::vector<int32_t> order(num_users);
+  for (int64_t i = 0; i < num_users; ++i) order[i] = static_cast<int32_t>(i);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) { return udeg[a] > udeg[b]; });
+  // snake deal over parts balances degree mass
+  for (int64_t r = 0; r < num_users; ++r) {
+    int64_t lane = r % (2 * num_parts);
+    int32_t p = static_cast<int32_t>(lane < num_parts ? lane
+                                                      : 2 * num_parts - 1 - lane);
+    out_part_user[order[r]] = p;
+  }
+  // item -> plurality part among its edges
+  std::vector<int32_t> counts(num_items * num_parts, 0);
+  for (int64_t i = 0; i < e; ++i)
+    counts[static_cast<int64_t>(it[i]) * num_parts + out_part_user[u[i]]]++;
+  uint64_t state = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+  for (int64_t j = 0; j < num_items; ++j) {
+    const int32_t* row = &counts[j * num_parts];
+    int32_t best = 0, best_c = row[0];
+    int64_t total = row[0];
+    for (int32_t p = 1; p < num_parts; ++p) {
+      total += row[p];
+      if (row[p] > best_c) { best_c = row[p]; best = p; }
+    }
+    if (total == 0) {  // unseen item: spread pseudo-uniformly
+      state = state * 6364136223846793005ULL + 1442695040888963407ULL;
+      best = static_cast<int32_t>((state >> 33) % num_parts);
+    }
+    out_part_item[j] = best;
+  }
+  int64_t kept = 0;
+  for (int64_t i = 0; i < e; ++i)
+    if (out_part_user[u[i]] == out_part_item[it[i]]) kept++;
+  return kept;
+}
+
+// Undirected doubling + dedup. Caller provides out buffers of size 2E.
+// Returns deduped edge count.
+int64_t gc_to_undirected(const int32_t* src, const int32_t* dst, int64_t e,
+                         int64_t n, int32_t* out_src, int32_t* out_dst) {
+  std::vector<uint64_t> keys(2 * e);
+  for (int64_t i = 0; i < e; ++i) {
+    keys[i] = static_cast<uint64_t>(src[i]) * n + dst[i];
+    keys[e + i] = static_cast<uint64_t>(dst[i]) * n + src[i];
+  }
+  std::sort(keys.begin(), keys.end());
+  int64_t m = 0;
+  for (int64_t i = 0; i < 2 * e; ++i) {
+    if (i > 0 && keys[i] == keys[i - 1]) continue;
+    out_src[m] = static_cast<int32_t>(keys[i] / n);
+    out_dst[m] = static_cast<int32_t>(keys[i] % n);
+    ++m;
+  }
+  return m;
+}
+
+// Per-user positive-item offsets for exact negative-sampling feasibility:
+// builds sorted (user, item) hash keys (Cantor pairing, reference
+// utils/helpers.py:11-22 semantics but 64-bit mix to avoid overflow).
+int64_t gc_member_hashes(const int32_t* u, const int32_t* it, int64_t e,
+                         uint64_t* out_hash) {
+  for (int64_t i = 0; i < e; ++i) {
+    uint64_t x = static_cast<uint64_t>(u[i]);
+    uint64_t y = static_cast<uint64_t>(it[i]);
+    uint64_t s = x + y;
+    out_hash[i] = s * (s + 1) / 2 + y;
+  }
+  std::sort(out_hash, out_hash + e);
+  int64_t m = 0;
+  for (int64_t i = 0; i < e; ++i) {
+    if (i > 0 && out_hash[i] == out_hash[i - 1]) continue;
+    out_hash[m++] = out_hash[i];
+  }
+  return m;
+}
+
+}  // extern "C"

@@ -9,12 +9,19 @@ convergence test.
 import os
 import sys
 
-# Must happen before jax initializes a backend: tests run on CPU with 8 virtual
-# devices so mesh/sharding code paths are exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on CPU with 8 virtual devices so mesh/sharding code paths are
+# exercised without TPU hardware. NOTE: this environment preloads jax and
+# registers the axon TPU backend via sitecustomize in EVERY python process, so
+# env vars alone are too late — flip the platform via jax.config before any
+# backend initializes (it is still lazy at this point).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (already preloaded by sitecustomize anyway)
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,58 @@
+"""Native graphcore (C++) vs NumPy parity tests."""
+
+import numpy as np
+import pytest
+
+from movie_recommender_system_with_gnns_tpu.data import native
+from movie_recommender_system_with_gnns_tpu.data.graph import build_csr as np_csr
+from movie_recommender_system_with_gnns_tpu.data.movielens import to_undirected as np_undirected
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="libgraphcore.so not built")
+
+
+def test_csr_matches_numpy(tiny_graph):
+    e, n = tiny_graph
+    rp_n, col_n, w_n = np_csr(e, n)
+    rp_c, col_c, w_c = native.build_csr(e[0], e[1], n)
+    np.testing.assert_array_equal(rp_n, rp_c)
+    # within a row, edge order may differ (counting sort vs argsort); compare
+    # as sorted per row
+    for r in range(n):
+        a, b = rp_n[r], rp_n[r + 1]
+        np.testing.assert_array_equal(np.sort(col_n[a:b]), np.sort(col_c[a:b]))
+    np.testing.assert_allclose(np.sort(w_n), np.sort(w_c), rtol=1e-6)
+
+
+def test_to_undirected_matches_numpy(rng):
+    src = rng.integers(0, 50, 500).astype(np.int32)
+    dst = rng.integers(50, 120, 500).astype(np.int32)
+    a = np_undirected(np.stack([src, dst]), 120)
+    b = native.to_undirected(src, dst, 120)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_partition_greedy_native(tiny_data):
+    e = tiny_data.edge_index
+    nu = tiny_data.num_users
+    ni = tiny_data.num_items
+    fwd = (e[0] < nu) & (e[1] >= nu)
+    u = e[0][fwd].astype(np.int64)
+    it = (e[1][fwd] - nu).astype(np.int64)
+    pu, pi, kept = native.partition_greedy(u, it, nu, ni, 4)
+    assert pu.shape == (nu,) and pi.shape == (ni,)
+    assert set(np.unique(pu)) <= set(range(4))
+    assert kept == int((pu[u] == pi[it]).sum())
+    # degree balance: no part should hold more than ~2x the mean user degree mass
+    deg = np.bincount(u, minlength=nu)
+    mass = np.array([deg[pu == p].sum() for p in range(4)])
+    assert mass.max() <= 2.5 * mass.mean()
+
+
+def test_member_hashes(rng):
+    u = rng.integers(0, 100, 1000).astype(np.int32)
+    it = rng.integers(0, 200, 1000).astype(np.int32)
+    h = native.member_hashes(u, it)
+    s = u.astype(np.uint64) + it.astype(np.uint64)
+    expect = np.unique(s * (s + 1) // 2 + it.astype(np.uint64))
+    np.testing.assert_array_equal(h, expect)

@@ -1,0 +1,97 @@
+"""Mesh-sharded trainer tests on the 8-virtual-CPU-device mesh (conftest sets
+--xla_force_host_platform_device_count=8): the sharded step must match the
+single-device trainer numerically, and sharded MIPS must match local MIPS."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig, TrainConfig
+from movie_recommender_system_with_gnns_tpu.data.graph import COOGraph
+from movie_recommender_system_with_gnns_tpu.models.lightgcn import LightGCNParams, init_params
+from movie_recommender_system_with_gnns_tpu.ops.sampling import TripletBatch, triplets_from_edges
+from movie_recommender_system_with_gnns_tpu.ops.spmm import DeviceCOO
+from movie_recommender_system_with_gnns_tpu.ops.topk import mips_topk
+from movie_recommender_system_with_gnns_tpu.parallel.mesh import make_mesh
+from movie_recommender_system_with_gnns_tpu.parallel.sharding import (
+    ShardPlan, make_sharded_mips, make_sharded_train_step, pad_params,
+    shard_graph, unpad_params,
+)
+from movie_recommender_system_with_gnns_tpu.training.train import compute_loss
+
+
+def _cfg():
+    return Config(model=ModelConfig(num_layers=2, dim=8),
+                  train=TrainConfig(lr=1e-2))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(data_parallel=2, model_parallel=4)
+
+
+def test_sharded_matches_single_device(tiny_data, mesh):
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    e = tiny_data.edge_index
+    plan = ShardPlan.create(nu, ni, pm=4)
+
+    params = init_params(jax.random.PRNGKey(0), nu, ni, cfg.model.dim)
+    batch = triplets_from_edges(e, nu, pad_to=2048)
+    neg = jax.random.randint(jax.random.PRNGKey(7), (2048,), 0, ni, dtype=jnp.int32)
+
+    # --- single-device reference step (same math as training.train) ---
+    coo = DeviceCOO.from_host(COOGraph.build(e, nu + ni))
+    loss_ref, grads_ref = jax.value_and_grad(compute_loss)(params, coo, batch, neg, cfg)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+                      optax.adam(cfg.train.lr))
+    upd, _ = opt.update(grads_ref, opt.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    # --- sharded step ---
+    p_pad = pad_params(params, plan)
+    adam = optax.adam(cfg.train.lr)
+    state = (p_pad, adam.init(p_pad), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(cfg, mesh, plan, opt=adam)(state)
+    g = shard_graph(e, plan)
+    state2, loss_sh = step(state, g, batch, neg)
+    p_new = unpad_params(state2[0], plan)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_new.user_emb),
+                               np.asarray(params_ref.user_emb), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_new.item_emb),
+                               np.asarray(params_ref.item_emb), rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_step_runs_multiple(tiny_data, mesh):
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    plan = ShardPlan.create(nu, ni, pm=4)
+    params = pad_params(init_params(jax.random.PRNGKey(1), nu, ni, cfg.model.dim), plan)
+    adam = optax.adam(cfg.train.lr)
+    state = (params, adam.init(params), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(cfg, mesh, plan, opt=adam)(state)
+    g = shard_graph(tiny_data.edge_index, plan)
+    batch = triplets_from_edges(tiny_data.edge_index, nu, pad_to=2048)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        neg = jax.random.randint(sub, (2048,), 0, ni, dtype=jnp.int32)
+        state, loss = step(state, g, batch, neg)
+        losses.append(float(loss))
+    assert losses[2] < losses[0]
+    assert int(state[2]) == 3
+
+
+def test_sharded_mips_matches_local(mesh, rng):
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    c = rng.standard_normal((512, 16)).astype(np.float32)
+    fn = make_sharded_mips(mesh, k=8, block=64)
+    s_sh, i_sh = fn(jnp.asarray(q), jnp.asarray(c))
+    s_loc, i_loc = mips_topk(jnp.asarray(q), jnp.asarray(c), k=8, block=64)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_loc), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,103 @@
+"""MIPS top-k + serving-layer tests (oracle: full score matrix + argsort)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from movie_recommender_system_with_gnns_tpu.models.lightgcn import LightGCNParams
+from movie_recommender_system_with_gnns_tpu.ops.topk import (
+    full_sort_scores, merge_topk, mips_topk,
+)
+from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+    recommend_from_movie, recommend_from_user, train_seen_items,
+)
+
+
+def test_mips_topk_matches_full_sort(rng):
+    q = rng.standard_normal((7, 16)).astype(np.float32)
+    c = rng.standard_normal((1000, 16)).astype(np.float32)
+    scores, idx = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, block=256)
+    ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
+    ref_idx = np.argsort(-ref, axis=1)[:, :10]
+    np.testing.assert_allclose(
+        np.asarray(scores), np.take_along_axis(ref, ref_idx, 1), rtol=1e-4, atol=1e-5
+    )
+    # indices can tie-swap; compare via scores of chosen indices
+    chosen = np.take_along_axis(ref, np.asarray(idx), 1)
+    np.testing.assert_allclose(chosen, np.take_along_axis(ref, ref_idx, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_mips_topk_exclusion(rng):
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    c = rng.standard_normal((200, 8)).astype(np.float32)
+    ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
+    banned = ref.argmax(axis=1)  # ban each query's best item
+    mask = np.zeros((3, 200), bool)
+    mask[np.arange(3), banned] = True
+    _, idx = mips_topk(jnp.asarray(q), jnp.asarray(c), k=5,
+                       exclude_mask=jnp.asarray(mask), block=64)
+    idx = np.asarray(idx)
+    for r in range(3):
+        assert banned[r] not in idx[r]
+
+
+def test_mips_topk_nondivisible_block(rng):
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    c = rng.standard_normal((130, 8)).astype(np.float32)   # 130 % 64 != 0
+    scores, idx = mips_topk(jnp.asarray(q), jnp.asarray(c), k=4, block=64)
+    assert np.all(np.asarray(idx) < 130)
+
+
+def test_merge_topk(rng):
+    s = rng.standard_normal((4, 3, 5)).astype(np.float32)
+    i = rng.integers(0, 1000, (4, 3, 5)).astype(np.int32)
+    ms, mi = merge_topk(jnp.asarray(s), jnp.asarray(i), k=5)
+    flat = s.transpose(1, 0, 2).reshape(3, 20)
+    np.testing.assert_allclose(np.asarray(ms), -np.sort(-flat, axis=1)[:, :5], rtol=1e-6)
+
+
+def _toy_params(data, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return LightGCNParams(
+        jnp.asarray(rng.standard_normal((data.num_users, dim)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((data.num_items, dim)).astype(np.float32)),
+    )
+
+
+def test_recommend_from_user(tiny_data):
+    params = _toy_params(tiny_data)
+    uid = int(tiny_data.user_ids[0])
+    out = recommend_from_user(params, uid, tiny_data, top_k=10)
+    assert "recommendations" in out
+    recs = out["recommendations"]
+    assert len(recs) == 10
+    assert all("title" in r and "score" in r for r in recs)
+    scores = [r["score"] for r in recs]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_recommend_invalid_ids(tiny_data):
+    params = _toy_params(tiny_data)
+    assert recommend_from_user(params, -123456, tiny_data) == {"error": "Invalid user ID"}
+    assert recommend_from_movie(params, -99999, tiny_data) == {"error": "Invalid movie ID"}
+
+
+def test_recommend_excludes_train_seen(tiny_data):
+    params = _toy_params(tiny_data)
+    uid = int(tiny_data.user_ids[0])
+    uidx = int(tiny_data.user_index(uid))
+    seen = train_seen_items(tiny_data.edge_index, tiny_data.num_users, uidx)
+    out = recommend_from_user(params, uid, tiny_data,
+                              excluded_train_items=seen, top_k=10)
+    rec_items = {int(tiny_data.movie_index(r["movieId"])) - tiny_data.num_users
+                 for r in out["recommendations"]}
+    assert rec_items.isdisjoint(set(seen.tolist()))
+
+
+def test_recommend_from_movie(tiny_data):
+    params = _toy_params(tiny_data)
+    mid = int(tiny_data.movie_ids[0])
+    out = recommend_from_movie(params, mid, tiny_data, top_k=10)
+    assert len(out["top_users"]) == 10
+    raw_ids = {u["user_id"] for u in out["top_users"]}
+    assert raw_ids <= set(tiny_data.user_ids.tolist())
