@@ -37,12 +37,14 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH
 
 SCALES = {
     # users, items, interactions, clusters, layers, dim
-    "full": dict(users=162_541, items=59_047, interactions=12_400_000,
-                 clusters=100, layers=3, dim=64),
-    "small": dict(users=16_254, items=5_905, interactions=1_240_000,
-                  clusters=10, layers=3, dim=64),
+    # full: ml-25m statistics (162,541 users / 59,047 movies; power-law with 200
+    # planted taste communities so Cluster-GCN partitioning has real structure)
+    "full": dict(users=162_541, items=59_047, interactions=18_000_000,
+                 clusters=100, layers=3, dim=64, communities=200, power=0.9),
+    "small": dict(users=16_254, items=5_905, interactions=1_800_000,
+                  clusters=10, layers=3, dim=64, communities=40, power=0.9),
     "tiny": dict(users=943, items=1_682, interactions=100_000,
-                 clusters=4, layers=3, dim=64),
+                 clusters=4, layers=3, dim=64, communities=8, power=0.9),
 }
 
 
@@ -52,7 +54,9 @@ def build_problem(scale: dict, seed: int = 0):
 
     t0 = time.time()
     data = make_synthetic_movielens(scale["users"], scale["items"],
-                                    scale["interactions"], seed=seed)
+                                    scale["interactions"], seed=seed,
+                                    num_communities=scale.get("communities", 0),
+                                    power=scale.get("power", 1.1))
     parts = partition_bipartite_greedy(
         data.edge_index, data.num_users, data.num_users + data.num_items,
         scale["clusters"], seed=seed,
@@ -67,39 +71,54 @@ def build_problem(scale: dict, seed: int = 0):
     return data, parts
 
 
-def bench_tpu_epoch(data, parts, scale, epochs=3):
-    """Timed cluster epochs of the jitted TPU trainer; returns best epoch secs."""
+def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
+    """Timed cluster epochs of the jitted TPU trainer; returns best epoch secs.
+
+    NOTE on timing: on this platform ``block_until_ready`` does NOT block (the
+    axon PJRT marks donated buffers ready immediately); only a host transfer
+    syncs, so every epoch is timed through ``float(loss)``.
+    """
     import jax
 
     from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig, TrainConfig
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        build_compact_clusters, make_compact_epoch_fn,
+    )
     from movie_recommender_system_with_gnns_tpu.training.pipeline import build_cluster_batches
     from movie_recommender_system_with_gnns_tpu.training.train import (
-        create_train_state, make_train_step, train_epoch,
+        StackedClusters, create_train_state, make_epoch_fn,
     )
 
     cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]))
     n = data.num_users + data.num_items
     t0 = time.time()
-    clusters = build_cluster_batches(parts, data.num_users, n, bucket_floor=4096)
+    if trainer == "compact":
+        stacked = build_compact_clusters(parts, data.num_users)
+        epoch_fn = make_compact_epoch_fn(cfg)
+        sys.stderr.write(f"[bench] compact clusters: u_pad={stacked.u_pad} "
+                         f"i_pad={stacked.i_pad} e_pad={stacked.src.shape[1]}\n")
+    else:
+        clusters = build_cluster_batches(parts, data.num_users, n, bucket_floor=4096)
+        stacked = StackedClusters.from_batches(clusters)
+        epoch_fn = make_epoch_fn(cfg)
     sys.stderr.write(f"[bench] device batches built in {time.time()-t0:.1f}s\n")
 
     state = create_train_state(cfg, data.num_users, data.num_items)
-    step = make_train_step(cfg)
     key = jax.random.PRNGKey(0)
 
-    # warmup epoch compiles every bucket shape
+    # warmup epoch compiles the fused scan program
     t0 = time.time()
     key, sub = jax.random.split(key)
-    state, _ = train_epoch(state, clusters, step, sub)
-    jax.block_until_ready(state.params.user_emb)
+    state, loss = epoch_fn(state, stacked, sub)
+    float(loss)
     sys.stderr.write(f"[bench] warmup epoch (incl. compile): {time.time()-t0:.1f}s\n")
 
     times = []
     for _ in range(epochs):
         key, sub = jax.random.split(key)
         t0 = time.time()
-        state, loss = train_epoch(state, clusters, step, sub)
-        jax.block_until_ready(state.params.user_emb)
+        state, loss = epoch_fn(state, stacked, sub)
+        loss = float(loss)
         times.append(time.time() - t0)
     sys.stderr.write(f"[bench] epoch times: {[f'{t:.2f}' for t in times]}, "
                      f"final loss {loss:.4f}\n")
@@ -165,7 +184,7 @@ def bench_torch_cpu_epoch(data, parts, scale, max_clusters=None):
 
 
 def get_baseline(data, parts, scale, scale_name):
-    key = f"{scale_name}-torchcpu-epoch-s"
+    key = f"{scale_name}-E{data.edge_index.shape[1]}-torchcpu-epoch-s"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -186,11 +205,12 @@ def main():
     ap.add_argument("--scale", default="full", choices=list(SCALES))
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--trainer", default="compact", choices=["compact", "full"])
     args = ap.parse_args()
     scale = SCALES[args.scale]
 
     data, parts = build_problem(scale)
-    epoch_s = bench_tpu_epoch(data, parts, scale, epochs=args.epochs)
+    epoch_s = bench_tpu_epoch(data, parts, scale, epochs=args.epochs, trainer=args.trainer)
 
     if args.skip_baseline:
         baseline_s = None

@@ -41,6 +41,8 @@ class DataConfig:
     synthetic_users: int = 1000
     synthetic_items: int = 1700
     synthetic_interactions: int = 100_000
+    synthetic_communities: int = 0     # >0 plants taste communities
+    synthetic_power: float = 1.1
 
 
 @dataclass(frozen=True)
@@ -71,6 +73,10 @@ class TrainConfig:
     seed: int = 0
     num_clusters: int = 100           # dataset_handler.py:256
     use_clusters: bool = True
+    # "compact" propagates each cluster in its local node space (fast,
+    # provably equivalent — training/compact.py); "full" keeps the reference's
+    # full-node-space propagation (training/train.py)
+    trainer: str = "compact"
     # eval / metric knobs
     eval_top_k: int = 100             # train_test.py:136
     recall_num_samples: int = 10      # train_test.py:165

@@ -216,13 +216,19 @@ def make_synthetic_movielens(
     num_interactions: int = 100_000,
     seed: int = 0,
     power: float = 1.1,
+    num_communities: int = 0,
+    intra_prob: float = 0.85,
 ) -> MovieLensData:
     """Generate a synthetic power-law bipartite interaction graph shaped like
     MovieLens (egress-free stand-in for the real download).
 
     Item popularity and user activity follow Zipf-ish distributions so degree
     skew — the thing that makes SpMM and partitioning interesting — matches the
-    real data qualitatively (eda.py:76-108 records the real skew).
+    real data qualitatively (eda.py:76-108 records the real skew). With
+    ``num_communities > 0`` a planted-partition structure is added: users and
+    items belong to latent communities and ``intra_prob`` of interactions stay
+    inside the community — this mirrors the genre/taste community structure of
+    the real data that makes Cluster-GCN partitioning (and learning) work.
     """
     rng = np.random.default_rng(seed)
     u_p = (1.0 / np.arange(1, num_users + 1) ** power)
@@ -231,6 +237,17 @@ def make_synthetic_movielens(
     i_p /= i_p.sum()
     users = rng.choice(num_users, size=num_interactions, p=u_p)
     items = rng.choice(num_items, size=num_interactions, p=i_p)
+    if num_communities > 1:
+        # latent communities via id hashing (cheap, deterministic); rewire the
+        # intra-community fraction of draws to an item in the user's community
+        u_comm = users % num_communities
+        i_comm = items % num_communities
+        intra = rng.random(num_interactions) < intra_prob
+        mism = intra & (i_comm != u_comm)
+        # shift mismatched items to the nearest item of the user's community
+        delta = (u_comm[mism] - i_comm[mism]) % num_communities
+        items = items.copy()
+        items[mism] = (items[mism] + delta) % num_items
     pairs = np.unique(users.astype(np.int64) * num_items + items)
     users = (pairs // num_items).astype(np.int64)
     items = (pairs % num_items).astype(np.int64)

@@ -56,6 +56,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int32, ctypes.c_uint64,
                                         i32p, i32p]
+    lib.gc_partition_refine.restype = ctypes.c_int64
+    lib.gc_partition_refine.argtypes = [i32p, i32p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_double, i32p, i32p]
     lib.gc_to_undirected.restype = ctypes.c_int64
     lib.gc_to_undirected.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64,
                                      i32p, i32p]
@@ -88,17 +93,26 @@ def build_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int
 
 
 def partition_greedy(u: np.ndarray, it: np.ndarray, num_users: int,
-                     num_items: int, num_parts: int, seed: int = 0
+                     num_items: int, num_parts: int, seed: int = 0,
+                     refine_rounds: int = 4, slack: float = 1.15
                      ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Node partition assignment (users, items) + kept-half-edge count."""
+    """Node partition assignment (users, items) + kept-half-edge count.
+
+    Greedy degree-balanced init + ``refine_rounds`` of capacity-constrained
+    label propagation (the METIS-quality step; gc_partition_refine)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native graphcore not built — run `make -C native`")
+    u32 = np.ascontiguousarray(u, np.int32)
+    it32 = np.ascontiguousarray(it, np.int32)
     pu = np.zeros(num_users, np.int32)
     pi = np.zeros(num_items, np.int32)
-    kept = lib.gc_partition_greedy(
-        np.ascontiguousarray(u, np.int32), np.ascontiguousarray(it, np.int32),
-        u.shape[0], num_users, num_items, num_parts, seed, pu, pi)
+    kept = lib.gc_partition_greedy(u32, it32, u.shape[0], num_users, num_items,
+                                   num_parts, seed, pu, pi)
+    if refine_rounds > 0:
+        kept = lib.gc_partition_refine(u32, it32, u.shape[0], num_users,
+                                       num_items, num_parts, refine_rounds,
+                                       slack, pu, pi)
     return pu, pi, int(kept)
 
 

@@ -79,6 +79,8 @@ def prepare_training_data(
                 cfg.data.synthetic_items,
                 cfg.data.synthetic_interactions,
                 seed=cfg.data.split_seed,
+                num_communities=cfg.data.synthetic_communities,
+                power=cfg.data.synthetic_power,
             )
         else:
             from ..data.movielens import load_movielens
@@ -103,11 +105,17 @@ def prepare_training_data(
         )
     else:
         parts = [train_e]
-    clusters = build_cluster_batches(parts, data.num_users, num_nodes)
+
+    if cfg.train.trainer == "compact":
+        from .compact import build_compact_clusters
+
+        train_obj = build_compact_clusters(parts, data.num_users)
+    else:
+        train_obj = build_cluster_batches(parts, data.num_users, num_nodes)
 
     val = build_eval_batch(val_e, num_nodes, data.num_users)
     test = build_eval_batch(test_e, num_nodes, data.num_users)
-    return data, clusters, val, test
+    return data, train_obj, val, test
 
 
 def _csvs_exist(cfg: Config) -> bool:

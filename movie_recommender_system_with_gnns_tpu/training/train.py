@@ -145,6 +145,92 @@ def train_epoch(
 
 
 # ---------------------------------------------------------------------------
+# Whole-epoch fused trainer: lax.scan over stacked cluster batches
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class StackedClusters:
+    """Every cluster batch stacked on a leading axis (all share one padded
+    shape): one ``lax.scan`` consumes the whole epoch in a single XLA program,
+    eliminating the per-cluster dispatch overhead of the reference's eager
+    loop (train_test.py:86) — ~10-25 ms/step on this platform's tunnel."""
+
+    def __init__(self, src, dst, w, user, pos_item, mask, edge_counts, num_nodes):
+        self.src, self.dst, self.w = src, dst, w
+        self.user, self.pos_item, self.mask = user, pos_item, mask
+        self.edge_counts = edge_counts          # (K,) f32 true edge counts
+        self.num_nodes = num_nodes              # static
+
+    def tree_flatten(self):
+        return ((self.src, self.dst, self.w, self.user, self.pos_item,
+                 self.mask, self.edge_counts), self.num_nodes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, num_nodes=aux)
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.src.shape[0])
+
+    @staticmethod
+    def from_batches(clusters: List[ClusterBatch]) -> "StackedClusters":
+        shapes = {(c.graph.src.shape, c.batch.user.shape) for c in clusters}
+        if len(shapes) != 1:
+            raise ValueError(f"clusters must share one padded shape, got {shapes}")
+        stk = lambda xs: jnp.stack(xs)
+        return StackedClusters(
+            src=stk([c.graph.src for c in clusters]),
+            dst=stk([c.graph.dst for c in clusters]),
+            w=stk([c.graph.w for c in clusters]),
+            user=stk([c.batch.user for c in clusters]),
+            pos_item=stk([c.batch.pos_item for c in clusters]),
+            mask=stk([c.batch.mask for c in clusters]),
+            edge_counts=jnp.asarray([float(c.num_edges) for c in clusters]),
+            num_nodes=clusters[0].graph.num_nodes,
+        )
+
+
+def make_epoch_fn(cfg: Config, spmm: Callable = spmm_segment):
+    """Build ``epoch_fn(state, stacked, key) -> (state, mean_loss)``: shuffled
+    pass over all clusters fused into one compiled program."""
+    opt = make_optimizer(cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, stacked: StackedClusters, key: jax.Array):
+        num_items = state.params.item_emb.shape[0]
+        k = stacked.src.shape[0]
+        perm_key, neg_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, k)
+        keys = jax.random.split(neg_key, k)
+
+        xs = (
+            stacked.src[perm], stacked.dst[perm], stacked.w[perm],
+            stacked.user[perm], stacked.pos_item[perm], stacked.mask[perm],
+            stacked.edge_counts[perm], keys,
+        )
+
+        def body(carry, x):
+            st = carry
+            src, dst, w, user, pos, mask, ecount, nk = x
+            graph = DeviceCOO(src, dst, w, num_nodes=stacked.num_nodes)
+            batch = TripletBatch(user, pos, mask)
+            neg = sample_negative(nk, user.shape[0], num_items)
+            loss, grads = jax.value_and_grad(compute_loss)(
+                st.params, graph, batch, neg, cfg, spmm)
+            updates, opt_state = opt.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), loss * ecount
+
+        state, wlosses = jax.lax.scan(body, state, xs)
+        mean_loss = jnp.sum(wlosses) / jnp.maximum(jnp.sum(stacked.edge_counts), 1.0)
+        return state, mean_loss
+
+    return epoch_fn
+
+
+# ---------------------------------------------------------------------------
 # Evaluation (reference evaluate(), train_test.py:136-163)
 # ---------------------------------------------------------------------------
 
@@ -195,9 +281,27 @@ def train_model(
     on_epoch_end: Optional[Callable[[int, Dict[str, float]], None]] = None,
     save_checkpoint: Optional[Callable[[TrainState, float], None]] = None,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
-    train_step = make_train_step(cfg, spmm)
     eval_step = make_eval_step(cfg, spmm)
     key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    # trainer selection:
+    #  - CompactClusters  → fused compact-space epoch scan (training/compact.py)
+    #  - list of batches sharing one padded shape → fused full-space epoch scan
+    #  - otherwise → eager per-cluster loop
+    from .compact import CompactClusters, make_compact_epoch_fn
+
+    stacked = None
+    epoch_fn = None
+    train_step = None
+    if isinstance(clusters, CompactClusters):
+        stacked = clusters
+        epoch_fn = make_compact_epoch_fn(cfg)
+    else:
+        try:
+            stacked = StackedClusters.from_batches(clusters)
+            epoch_fn = make_epoch_fn(cfg, spmm)
+        except ValueError:
+            train_step = make_train_step(cfg, spmm)
 
     hist: Dict[str, List[float]] = {"train_loss": [], "val_loss": [], "val_recall": [],
                                     "epoch_time_s": []}
@@ -205,7 +309,11 @@ def train_model(
     for epoch in range(cfg.train.epochs):
         key, ek, vk = jax.random.split(key, 3)
         t0 = time.perf_counter()
-        state, train_loss = train_epoch(state, clusters, train_step, ek)
+        if stacked is not None:
+            state, train_loss = epoch_fn(state, stacked, ek)
+            train_loss = float(train_loss)
+        else:
+            state, train_loss = train_epoch(state, clusters, train_step, ek)
         val_loss, val_recall = eval_step(state.params, val[0], val[1], vk)
         val_loss, val_recall = float(val_loss), float(val_recall)
         dt = time.perf_counter() - t0

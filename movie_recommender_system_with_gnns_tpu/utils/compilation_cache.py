@@ -19,6 +19,9 @@ def enable_compilation_cache(path: str | None = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
+    # per-backend subdir: CPU AOT entries carry host-machine feature flags and
+    # must not be shared with entries from other backends/configs
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache EVERYTHING: on this platform even trivial eager-op compiles pay a

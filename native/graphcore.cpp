@@ -96,6 +96,72 @@ int64_t gc_partition_greedy(const int32_t* u, const int32_t* it, int64_t e,
   return kept;
 }
 
+// Capacity-constrained label-propagation refinement of a bipartite partition.
+// Alternates user-side and item-side plurality moves, each constrained so no
+// part exceeds ``slack``× its fair share of edge mass — the balance guarantee
+// METIS gives that plain label propagation lacks. Improves intra-cluster edge
+// retention substantially on community-structured graphs.
+// Returns kept half-edges after refinement.
+static void refine_side(const int32_t* a, const int32_t* b, int64_t e,
+                        int64_t num_a, int32_t num_parts, double slack,
+                        int32_t* part_a, const int32_t* part_b) {
+  std::vector<int32_t> counts(num_a * num_parts, 0);
+  std::vector<int64_t> deg(num_a, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    counts[static_cast<int64_t>(a[i]) * num_parts + part_b[b[i]]]++;
+    deg[a[i]]++;
+  }
+  int64_t cap = static_cast<int64_t>(slack * static_cast<double>(e) / num_parts) + 1;
+  // nodes in affinity order (best count desc) so strong preferences win slots
+  std::vector<int32_t> best(num_a);
+  std::vector<int32_t> bestc(num_a);
+  for (int64_t v = 0; v < num_a; ++v) {
+    const int32_t* row = &counts[v * num_parts];
+    int32_t bp = part_a[v];
+    int32_t bc = -1;
+    for (int32_t p = 0; p < num_parts; ++p)
+      if (row[p] > bc) { bc = row[p]; bp = p; }
+    best[v] = bp;
+    bestc[v] = bc;
+  }
+  std::vector<int32_t> order(num_a);
+  for (int64_t v = 0; v < num_a; ++v) order[v] = static_cast<int32_t>(v);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t x, int32_t y) { return bestc[x] > bestc[y]; });
+  std::vector<int64_t> load(num_parts, 0);
+  for (int64_t r = 0; r < num_a; ++r) {
+    int32_t v = order[r];
+    int32_t want = best[v];
+    int32_t cur = part_a[v];
+    int32_t chosen;
+    if (load[want] + deg[v] <= cap) {
+      chosen = want;
+    } else if (load[cur] + deg[v] <= cap) {
+      chosen = cur;
+    } else {
+      chosen = 0;
+      for (int32_t p = 1; p < num_parts; ++p)
+        if (load[p] < load[chosen]) chosen = p;
+    }
+    part_a[v] = chosen;
+    load[chosen] += deg[v];
+  }
+}
+
+int64_t gc_partition_refine(const int32_t* u, const int32_t* it, int64_t e,
+                            int64_t num_users, int64_t num_items,
+                            int32_t num_parts, int32_t rounds, double slack,
+                            int32_t* part_user, int32_t* part_item) {
+  for (int32_t r = 0; r < rounds; ++r) {
+    refine_side(it, u, e, num_items, num_parts, slack, part_item, part_user);
+    refine_side(u, it, e, num_users, num_parts, slack, part_user, part_item);
+  }
+  int64_t kept = 0;
+  for (int64_t i = 0; i < e; ++i)
+    if (part_user[u[i]] == part_item[it[i]]) kept++;
+  return kept;
+}
+
 // Undirected doubling + dedup. Caller provides out buffers of size 2E.
 // Returns deduped edge count.
 int64_t gc_to_undirected(const int32_t* src, const int32_t* dst, int64_t e,

@@ -1,0 +1,50 @@
+"""Pallas one-hot SpMM kernel: golden tests vs the segment-sum oracle.
+
+Runs in interpreter mode on the CPU test platform; the same kernel compiles and
+matches on real TPU (verified on v5e — see ops/pallas_spmm.py docstring for the
+measured numbers).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from movie_recommender_system_with_gnns_tpu.data.graph import COOGraph, EllGraph
+from movie_recommender_system_with_gnns_tpu.ops.pallas_spmm import (
+    select_spmm, spmm_ell_pallas,
+)
+from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+    DeviceCOO, DeviceELL, spmm_ell, spmm_segment,
+)
+
+
+def test_pallas_spmm_matches_segment(tiny_graph, rng):
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))
+    ell = DeviceELL.from_host(EllGraph.build(e, n, row_align=128))
+    ref = np.asarray(spmm_segment(coo, jnp.asarray(x)))
+    out = np.asarray(spmm_ell_pallas(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_spmm_wide_bucket_split(rng):
+    """A node with degree > W_UNROLL_MAX exercises the width-splitting path."""
+    hub_edges = np.stack([
+        np.arange(1, 120, dtype=np.int64),
+        np.zeros(119, dtype=np.int64),
+    ])
+    back = hub_edges[::-1]
+    e = np.concatenate([hub_edges, back], axis=1)
+    n = 120
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))
+    ell = DeviceELL.from_host(EllGraph.build(e, n, row_align=128))
+    assert any(b.nbr.shape[1] > 32 for b in ell.blocks)
+    ref = np.asarray(spmm_segment(coo, jnp.asarray(x)))
+    out = np.asarray(spmm_ell_pallas(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_select_spmm_default_is_xla():
+    assert select_spmm(1000, 64) is spmm_ell
+    assert select_spmm(1000, 64, use_pallas=True) is spmm_ell_pallas

@@ -43,7 +43,7 @@ def test_split_edges_persist_and_reload(tiny_data, tmp_path):
 
 
 def test_train_epoch_decreases_loss(tmp_path):
-    cfg = small_cfg(tmp_path)
+    cfg = small_cfg(tmp_path, trainer="full")   # eager per-cluster path
     data, clusters, val, test = prepare_training_data(cfg)
     assert len(clusters) >= 1
     state = create_train_state(cfg, data.num_users, data.num_items)
