@@ -46,9 +46,12 @@ def cmd_train(args) -> int:
     from .training.pipeline import prepare_training_data
     from .training.train import create_train_state, save_histories, train_model
 
+    from .utils.observability import MetricsLogger
+
     cfg = _build_cfg(args)
     print(f"devices: {jax.devices()}")
-    data, clusters, val, test = prepare_training_data(cfg)
+    bundle = prepare_training_data(cfg)
+    data, clusters, val, test = bundle
     print(f"Number of users: {data.num_users}")
     print(f"Number of items: {data.num_items}")
     print(f"Number of relevant interactions: {data.edge_index.shape[1]}")
@@ -62,8 +65,21 @@ def cmd_train(args) -> int:
         save_params(cfg.train.checkpoint_path, st.params,
                     meta={"val_recall": recall, "config": cfg.to_json()})
 
-    state, hist = train_model(cfg, state, clusters, val, test, save_checkpoint=save_cb)
+    logger = MetricsLogger(os.path.join(cfg.train.histories_dir, "metrics.jsonl"))
+    state, hist = train_model(cfg, state, clusters, val, test,
+                              save_checkpoint=save_cb, metrics_logger=logger)
     save_histories(hist, cfg.train.histories_dir)
+
+    if args.full_eval:
+        from .training.evaluate import evaluate_full_ranking
+
+        train_e, val_e, test_e = bundle.splits
+        recall, ndcg = evaluate_full_ranking(
+            state.params, train_e, test_e, data.num_users, k=args.full_eval_k,
+            max_users=args.full_eval_users)
+        print(f"Full-ranking test Recall@{args.full_eval_k}: {recall:.4f}, "
+              f"NDCG@{args.full_eval_k}: {ndcg:.4f}")
+        logger.log(cfg.train.epochs, test_full_recall=recall, test_full_ndcg=ndcg)
     try:
         from .utils.visualizations import plot_histories
 
@@ -187,7 +203,12 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic-interactions", type=int, default=100_000)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("train", help="train the LightGCN model")
+    pt = sub.add_parser("train", help="train the LightGCN model")
+    pt.add_argument("--full-eval", action="store_true",
+                    help="post-training full-ranking Recall@k/NDCG@k on test")
+    pt.add_argument("--full-eval-k", type=int, default=10)
+    pt.add_argument("--full-eval-users", type=int, default=10_000,
+                    help="cap on evaluated users (None = all)")
     pr = sub.add_parser("recommend", help="top-k retrieval")
     pr.add_argument("--user-id", type=int, default=None)
     pr.add_argument("--movie-id", type=int, default=None)

@@ -115,7 +115,20 @@ def prepare_training_data(
 
     val = build_eval_batch(val_e, num_nodes, data.num_users)
     test = build_eval_batch(test_e, num_nodes, data.num_users)
-    return data, train_obj, val, test
+    return TrainingBundle(data, train_obj, val, test, (train_e, val_e, test_e))
+
+
+class TrainingBundle:
+    """Everything prepare_training_data produces. Unpacks like the legacy
+    4-tuple ``data, train_obj, val, test``; the raw split edge arrays are on
+    ``.splits`` (train_e, val_e, test_e) for full-ranking evaluation."""
+
+    def __init__(self, data, train_obj, val, test, splits):
+        self.data, self.train, self.val, self.test = data, train_obj, val, test
+        self.splits = splits
+
+    def __iter__(self):
+        return iter((self.data, self.train, self.val, self.test))
 
 
 def _csvs_exist(cfg: Config) -> bool:

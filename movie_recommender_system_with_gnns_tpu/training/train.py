@@ -280,6 +280,7 @@ def train_model(
     spmm: Callable = spmm_segment,
     on_epoch_end: Optional[Callable[[int, Dict[str, float]], None]] = None,
     save_checkpoint: Optional[Callable[[TrainState, float], None]] = None,
+    metrics_logger=None,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
     eval_step = make_eval_step(cfg, spmm)
     key = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -326,6 +327,9 @@ def train_model(
             f"Val Loss: {val_loss:.4f}, Recall@k: {val_recall:.6f}, "
             f"k={cfg.train.eval_top_k} ({dt:.2f}s)"
         )
+        if metrics_logger is not None:
+            metrics_logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
+                               val_recall=val_recall, epoch_time_s=dt)
         if val_recall > best_recall:
             best_recall = val_recall
             if save_checkpoint is not None:

@@ -1,0 +1,71 @@
+"""Full-ranking evaluation + observability tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+
+from movie_recommender_system_with_gnns_tpu.models.lightgcn import LightGCNParams
+from movie_recommender_system_with_gnns_tpu.training.evaluate import (
+    _np_group_by_user, evaluate_full_ranking,
+)
+from movie_recommender_system_with_gnns_tpu.utils.observability import (
+    MetricsLogger, trace_span,
+)
+
+
+def test_group_by_user():
+    edges = np.array([[0, 1, 0, 5, 6], [5, 6, 6, 0, 1]])  # 2 users, items 5,6->idx
+    indptr, items = _np_group_by_user(edges, 2)
+    assert indptr.tolist() == [0, 2, 3]
+    assert sorted(items[:2].tolist()) == [3, 4]
+
+
+def test_full_ranking_perfect_model():
+    """A model whose user embedding equals its held-out item's embedding must
+    rank it first -> recall@1 == ndcg@1 == 1."""
+    rng = np.random.default_rng(0)
+    num_users, num_items, d = 16, 32, 8
+    item_emb = rng.standard_normal((num_items, d)).astype(np.float32)
+    item_emb /= np.linalg.norm(item_emb, axis=1, keepdims=True)
+    target = rng.integers(0, num_items, num_users)
+    user_emb = item_emb[target] + 0.001 * rng.standard_normal((num_users, d)).astype(np.float32)
+    params = LightGCNParams(jax.numpy.asarray(user_emb), jax.numpy.asarray(item_emb))
+
+    # held-out edge = each user's target item; train = empty
+    eval_edges = np.stack([np.arange(num_users), target + num_users]).astype(np.int64)
+    eval_edges = np.concatenate([eval_edges, eval_edges[::-1]], axis=1)
+    train_edges = np.zeros((2, 0), np.int64)
+
+    recall, ndcg = evaluate_full_ranking(params, train_edges, eval_edges,
+                                         num_users, k=1, batch_users=8)
+    assert recall == 1.0
+    assert ndcg == 1.0
+
+
+def test_full_ranking_excludes_seen():
+    """If the best item is train-seen, it must be excluded from the ranking."""
+    num_users, num_items, d = 4, 10, 4
+    item_emb = np.eye(num_items, d).astype(np.float32) + 0.01
+    user_emb = item_emb[:num_users].copy()
+    params = LightGCNParams(jax.numpy.asarray(user_emb), jax.numpy.asarray(item_emb))
+    # user u's identical item u is in TRAIN; held-out item is u+4
+    train_edges = np.stack([np.arange(num_users), np.arange(num_users) + num_users])
+    ev = np.stack([np.arange(num_users), np.arange(num_users) + 4 + num_users])
+    recall, _ = evaluate_full_ranking(params, train_edges, ev, num_users, k=num_items - 1,
+                                      batch_users=4)
+    assert recall == 1.0  # reachable only because seen item was masked
+
+
+def test_metrics_logger(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(p)
+    lg.log(0, loss=1.0)
+    lg.log(1, loss=0.5, recall=0.1)
+    with trace_span("unit", lg, step=2):
+        pass
+    recs = MetricsLogger.read(p)
+    assert len(recs) == 3
+    assert lg.history("loss") == [1.0, 0.5]
+    assert "span/unit_s" in recs[2]
