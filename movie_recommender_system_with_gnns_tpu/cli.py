@@ -102,11 +102,17 @@ def cmd_recommend(args) -> int:
     from .training.pipeline import prepare_training_data
 
     cfg = _build_cfg(args)
-    data, _, _, _ = prepare_training_data(cfg)
+    bundle = prepare_training_data(cfg)
+    data = bundle.data
     if not os.path.exists(cfg.train.checkpoint_path):
         print(f"checkpoint {cfg.train.checkpoint_path} not found — train first")
         return 1
     params, meta = load_params(cfg.train.checkpoint_path)
+    if getattr(args, "propagated", False):
+        from .serving.recommend import compute_serving_tables
+
+        params = compute_serving_tables(params, bundle.splits[0], cfg,
+                                        mode="propagated")
 
     if args.movie_id is not None:
         out = recommend_from_movie(params, args.movie_id, data, top_k=args.top_k)
@@ -214,6 +220,9 @@ def main(argv=None) -> int:
     pr.add_argument("--movie-id", type=int, default=None)
     pr.add_argument("--top-k", type=int, default=10)
     pr.add_argument("--plots", action="store_true")
+    pr.add_argument("--propagated", action="store_true",
+                    help="score with K-layer propagated embeddings instead of "
+                         "the reference's layer-0 tables")
     sub.add_parser("eda", help="dataset statistics report")
 
     args = ap.parse_args(argv)

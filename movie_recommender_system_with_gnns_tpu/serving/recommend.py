@@ -28,6 +28,37 @@ from ..models.lightgcn import LightGCNParams
 from ..ops.topk import mips_topk
 
 
+def compute_serving_tables(
+    params: LightGCNParams,
+    train_edges: Optional[np.ndarray] = None,
+    cfg=None,
+    mode: str = "layer0",
+):
+    """Embedding tables used for retrieval scoring.
+
+    ``mode='layer0'`` (default) reproduces the reference contract — scores are
+    dot products of the raw trained tables (light_gcn.py:42-64; SURVEY §3.2).
+    ``mode='propagated'`` runs the K-layer propagation over the train graph
+    first (the LightGCN-paper serving protocol), which typically ranks better;
+    offered as a beyond-reference option.
+    """
+    if mode == "layer0":
+        return params
+    if mode != "propagated":
+        raise ValueError(f"unknown serving mode {mode!r}")
+    if train_edges is None or cfg is None:
+        raise ValueError("propagated serving needs train_edges + cfg")
+    from ..data.graph import COOGraph
+    from ..models.lightgcn import propagate
+    from ..ops.spmm import DeviceCOO, spmm_segment
+
+    n = params.user_emb.shape[0] + params.item_emb.shape[0]
+    graph = DeviceCOO.from_host(COOGraph.build(train_edges, n))
+    fu, fi = propagate(params, graph, spmm_segment, cfg.model.num_layers,
+                       cfg.model.readout)
+    return LightGCNParams(fu, fi)
+
+
 def _exclusion_mask(num_cols: int, excluded: Optional[Sequence[int]]) -> Optional[jnp.ndarray]:
     if excluded is None:
         return None

@@ -64,6 +64,35 @@ def load_params_if_exists(path: str, params: LightGCNParams) -> LightGCNParams:
     return loaded
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (production checkpointing: atomic, versioned, async-capable)
+# ---------------------------------------------------------------------------
+
+
+def save_params_orbax(directory: str, params: LightGCNParams, step: int = 0) -> None:
+    """Orbax-backed checkpoint (atomic + versioned); .npz remains the default
+    lightweight backend. Both are round-trip tested."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.CheckpointManager(path) as mngr:
+        mngr.save(step, args=ocp.args.StandardSave({"user_emb": params.user_emb,
+                                                    "item_emb": params.item_emb}))
+        mngr.wait_until_finished()
+
+
+def load_params_orbax(directory: str, step: Optional[int] = None) -> LightGCNParams:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.CheckpointManager(path) as mngr:
+        if step is None:
+            step = mngr.latest_step()
+        restored = mngr.restore(step)
+    return LightGCNParams(jnp.asarray(restored["user_emb"]),
+                          jnp.asarray(restored["item_emb"]))
+
+
 def save_train_state(path: str, state, meta: Optional[dict] = None) -> None:
     """Full-state checkpoint: params + optimizer moments + step counter."""
     leaves, treedef = jax.tree_util.tree_flatten(state)

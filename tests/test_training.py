@@ -108,3 +108,35 @@ def test_eval_step_runs(tmp_path):
     loss, recall = ev(state.params, val[0], val[1], jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     assert 0.0 <= float(recall) <= 1.0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from movie_recommender_system_with_gnns_tpu.training.checkpoint import (
+        load_params_orbax, save_params_orbax,
+    )
+
+    cfg = small_cfg(tmp_path)
+    state = create_train_state(cfg, 20, 30)
+    d = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(d, state.params, step=5)
+    restored = load_params_orbax(d)
+    np.testing.assert_array_equal(np.asarray(restored.user_emb),
+                                  np.asarray(state.params.user_emb))
+
+
+def test_propagated_serving_tables(tiny_data):
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        compute_serving_tables, recommend_from_user,
+    )
+
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8))
+    state = create_train_state(cfg, tiny_data.num_users, tiny_data.num_items)
+    t0 = compute_serving_tables(state.params)
+    assert t0 is state.params  # layer-0 mode is the identity (reference contract)
+    tp = compute_serving_tables(state.params, tiny_data.edge_index, cfg,
+                                mode="propagated")
+    assert tp.user_emb.shape == state.params.user_emb.shape
+    assert not np.allclose(np.asarray(tp.user_emb), np.asarray(state.params.user_emb))
+    out = recommend_from_user(tp, int(tiny_data.user_ids[0]), tiny_data, top_k=5)
+    assert len(out["recommendations"]) == 5
