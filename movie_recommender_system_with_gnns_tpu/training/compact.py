@@ -52,17 +52,19 @@ class CompactClusters:
     """
 
     def __init__(self, user_ids, item_ids, src, dst, w, user_local, pos_local,
-                 mask, edge_counts, u_pad, i_pad):
+                 mask, edge_counts, user_valid, item_valid, u_pad, i_pad):
         self.user_ids, self.item_ids = user_ids, item_ids          # (K, Upad), (K, Ipad)
         self.src, self.dst, self.w = src, dst, w                   # (K, Epad)
         self.user_local, self.pos_local = user_local, pos_local    # (K, B)
         self.mask = mask                                           # (K, B)
         self.edge_counts = edge_counts                             # (K,)
+        self.user_valid, self.item_valid = user_valid, item_valid  # (K, Upad/Ipad)
         self.u_pad, self.i_pad = u_pad, i_pad                      # static
 
     def tree_flatten(self):
         return ((self.user_ids, self.item_ids, self.src, self.dst, self.w,
-                 self.user_local, self.pos_local, self.mask, self.edge_counts),
+                 self.user_local, self.pos_local, self.mask, self.edge_counts,
+                 self.user_valid, self.item_valid),
                 (self.u_pad, self.i_pad))
 
     @classmethod
@@ -112,6 +114,8 @@ def build_compact_clusters(
     pos_local = np.zeros((k, e_fwd_pad), np.int32)
     mask = np.zeros((k, e_fwd_pad), bool)
     edge_counts = np.zeros(k, np.float32)
+    user_valid = np.zeros((k, u_pad), bool)
+    item_valid = np.zeros((k, i_pad), bool)
 
     n_local = u_pad + i_pad
     for c, (uu, ii, ul, il, ecount) in enumerate(infos):
@@ -134,12 +138,15 @@ def build_compact_clusters(
         pos_local[c, :nf] = il
         mask[c, :nf] = True
         edge_counts[c] = float(ecount)
+        user_valid[c, : len(uu)] = True
+        item_valid[c, : len(ii)] = True
 
     return CompactClusters(
         user_ids=jnp.asarray(user_ids), item_ids=jnp.asarray(item_ids),
         src=jnp.asarray(src), dst=jnp.asarray(dst), w=jnp.asarray(w),
         user_local=jnp.asarray(user_local), pos_local=jnp.asarray(pos_local),
         mask=jnp.asarray(mask), edge_counts=jnp.asarray(edge_counts),
+        user_valid=jnp.asarray(user_valid), item_valid=jnp.asarray(item_valid),
         u_pad=u_pad, i_pad=i_pad,
     )
 
@@ -161,18 +168,20 @@ def compact_cluster_loss(
     n_local = u_pad + i_pad
     k1 = cfg.model.num_layers + 1
     scale = 1.0 / (k1 * k1) if cfg.model.readout == "reference" else 1.0 / k1
+    cdtype = jnp.dtype(cfg.model.compute_dtype)
 
     u_rows = params.user_emb[user_ids]           # (Upad, d) gather
     i_rows = params.item_emb[item_ids]           # (Ipad, d)
-    emb = jnp.concatenate([u_rows, i_rows], axis=0)
+    emb = jnp.concatenate([u_rows, i_rows], axis=0).astype(cdtype)
+    wc = w.astype(cdtype)
     acc = emb
     cur = emb
     for _ in range(cfg.model.num_layers):
-        msg = cur[src] * w[:, None]
+        msg = cur[src] * wc[:, None]
         cur = jax.ops.segment_sum(msg, dst, num_segments=n_local,
                                   indices_are_sorted=True)
         acc = acc + cur
-    final = acc * scale
+    final = acc.astype(jnp.float32) * scale
     fu, fi = final[:u_pad], final[u_pad:]
 
     uf = fu[user_local]
@@ -190,8 +199,154 @@ def compact_cluster_loss(
     return bpr_loss(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=mask)
 
 
+# ---------------------------------------------------------------------------
+# Lazy (sparse) Adam: moments touched-rows-only — the torch SparseAdam analog
+# ---------------------------------------------------------------------------
+
+
+class LazyAdamState(NamedTuple):
+    mu: LightGCNParams
+    nu: LightGCNParams
+    count: jax.Array
+
+
+def init_lazy_adam(params: LightGCNParams) -> LazyAdamState:
+    z = lambda p: jnp.zeros_like(p)
+    return LazyAdamState(
+        mu=LightGCNParams(z(params.user_emb), z(params.item_emb)),
+        nu=LightGCNParams(z(params.user_emb), z(params.item_emb)),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _lazy_row_update(table, mu, nu, rows, g_rows, valid, lr_t, b1, b2, eps, scale):
+    """Adam on the gathered rows only, written back as masked scatter-ADDs of
+    deltas — commutative, so padded duplicate ids are race-free (their deltas
+    are masked to zero).
+
+    Differences vs dense Adam (documented trade): untouched rows keep stale
+    moments (no decay while idle — torch SparseAdam behaves the same), and a
+    row sampled twice as a negative in one step applies two moment deltas
+    computed from the same pre-state (SparseAdam-style approximation).
+    """
+    g_rows = g_rows * scale
+    m_old = mu[rows]
+    v_old = nu[rows]
+    m = b1 * m_old + (1.0 - b1) * g_rows
+    v = b2 * v_old + (1.0 - b2) * (g_rows * g_rows)
+    upd = -lr_t * m / (jnp.sqrt(v) + eps)
+    vmask = valid[:, None].astype(table.dtype)
+    return (
+        table.at[rows].add(upd * vmask),
+        mu.at[rows].add((m - m_old) * vmask),
+        nu.at[rows].add((v - v_old) * vmask),
+    )
+
+
+def make_compact_lazy_epoch_fn(cfg: Config):
+    """Fused epoch with lazy Adam: per step, only the cluster's gathered rows
+    (users, items, and a deduplicated union with sampled negatives) move."""
+    b1, b2, eps = cfg.train.adam_b1, cfg.train.adam_b2, cfg.train.adam_eps
+    lr = cfg.train.lr
+    clip = cfg.train.grad_clip_norm
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, cc: CompactClusters, key: jax.Array):
+        num_items = state.params.item_emb.shape[0]
+        k = cc.num_clusters
+        perm_key, neg_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, k)
+        keys = jax.random.split(neg_key, k)
+        xs = (
+            cc.user_ids[perm], cc.item_ids[perm], cc.src[perm], cc.dst[perm],
+            cc.w[perm], cc.user_local[perm], cc.pos_local[perm], cc.mask[perm],
+            cc.edge_counts[perm], cc.user_valid[perm], cc.item_valid[perm], keys,
+        )
+
+        def row_loss(u_rows, i_rows, n_rows, cluster, neg):
+            (user_ids, item_ids, src, dst, w, user_local, pos_local, mask) = cluster
+            n_local = cc.u_pad + cc.i_pad
+            k1 = cfg.model.num_layers + 1
+            scale = 1.0 / (k1 * k1) if cfg.model.readout == "reference" else 1.0 / k1
+            cdtype = jnp.dtype(cfg.model.compute_dtype)
+            emb = jnp.concatenate([u_rows, i_rows], axis=0).astype(cdtype)
+            wc = w.astype(cdtype)
+            acc = emb
+            cur = emb
+            for _ in range(cfg.model.num_layers):
+                msg = cur[src] * wc[:, None]
+                cur = jax.ops.segment_sum(msg, dst, num_segments=n_local,
+                                          indices_are_sorted=True)
+                acc = acc + cur
+            final = acc.astype(jnp.float32) * scale
+            fu, fi = final[:cc.u_pad], final[cc.u_pad:]
+            uf, ui = fu[user_local], u_rows[user_local]
+            pf, pi = fi[pos_local], i_rows[pos_local]
+            loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, cc.i_pad - 1)
+            in_cluster = item_ids[loc] == neg
+            nf = jnp.where(in_cluster[:, None], fi[loc], n_rows * scale)
+            return bpr_loss(uf, ui, pf, pi, nf, n_rows, cfg.train.bpr_coeff,
+                            mask=mask)
+
+        def body(carry, x):
+            params, ost = carry
+            cluster = x[:8]
+            ecount = x[8]
+            user_valid, item_valid, nk = x[9], x[10], x[11]
+            user_ids, item_ids = cluster[0], cluster[1]
+            neg = sample_negative(nk, cluster[5].shape[0], num_items)
+
+            u_rows = params.user_emb[user_ids]
+            i_rows = params.item_emb[item_ids]
+            n_rows = params.item_emb[neg]
+            loss, (gu, gi, gn) = jax.value_and_grad(row_loss, argnums=(0, 1, 2))(
+                u_rows, i_rows, n_rows, cluster, neg)
+
+            # global-norm clip over the row grads (duplicate-row sums differ
+            # negligibly from the dense norm; see _lazy_row_update)
+            gsq = jnp.sum(gu**2) + jnp.sum(gi**2) + jnp.sum(gn**2)
+            gn_norm = jnp.sqrt(gsq)
+            cscale = jnp.minimum(1.0, clip / jnp.maximum(gn_norm, 1e-6))
+
+            cnt = ost.count + 1
+            lr_t = lr * jnp.sqrt(1.0 - b2**cnt.astype(jnp.float32)) / (
+                1.0 - b1**cnt.astype(jnp.float32))
+
+            ue, mu_u, nu_u = _lazy_row_update(
+                params.user_emb, ost.mu.user_emb, ost.nu.user_emb,
+                user_ids, gu, user_valid, lr_t, b1, b2, eps, cscale)
+            # items: cluster rows and negative rows update sequentially; a
+            # negative that is also a cluster item gets two moment deltas
+            # (SparseAdam-style approximation)
+            ie, mu_i, nu_i = _lazy_row_update(
+                params.item_emb, ost.mu.item_emb, ost.nu.item_emb,
+                item_ids, gi, item_valid, lr_t, b1, b2, eps, cscale)
+            neg_valid = jnp.ones(neg.shape[0], bool)
+            ie, mu_i, nu_i = _lazy_row_update(ie, mu_i, nu_i, neg, gn,
+                                              neg_valid, lr_t, b1, b2, eps, cscale)
+
+            new_params = LightGCNParams(ue, ie)
+            new_ost = LazyAdamState(LightGCNParams(mu_u, mu_i),
+                                    LightGCNParams(nu_u, nu_i), cnt)
+            return (new_params, new_ost), loss * ecount
+
+        (params, ost), wlosses = jax.lax.scan(
+            body, (state.params, state.opt_state), xs)
+        mean_loss = jnp.sum(wlosses) / jnp.maximum(jnp.sum(cc.edge_counts), 1.0)
+        return TrainState(params, ost, state.step + cc.num_clusters), mean_loss
+
+    return epoch_fn
+
+
+def create_lazy_train_state(cfg: Config, params: LightGCNParams) -> TrainState:
+    return TrainState(params=params, opt_state=init_lazy_adam(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
 def make_compact_epoch_fn(cfg: Config):
     """One fused ``lax.scan`` pass over all compact clusters per call."""
+    if cfg.train.optimizer == "lazy_adam":
+        return make_compact_lazy_epoch_fn(cfg)
     opt = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))

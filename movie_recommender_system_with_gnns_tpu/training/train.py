@@ -297,6 +297,12 @@ def train_model(
     if isinstance(clusters, CompactClusters):
         stacked = clusters
         epoch_fn = make_compact_epoch_fn(cfg)
+        if cfg.train.optimizer == "lazy_adam":
+            from .compact import LazyAdamState, init_lazy_adam
+
+            if not isinstance(state.opt_state, LazyAdamState):
+                state = TrainState(state.params, init_lazy_adam(state.params),
+                                   state.step)
     else:
         try:
             stacked = StackedClusters.from_batches(clusters)

@@ -16,7 +16,7 @@ from movie_recommender_system_with_gnns_tpu.training.compact import (
     make_compact_epoch_fn,
 )
 from movie_recommender_system_with_gnns_tpu.training.train import (
-    compute_loss, create_train_state,
+    TrainState, compute_loss, create_train_state, make_optimizer,
 )
 
 
@@ -97,3 +97,70 @@ def test_compact_epoch_decreases_loss(tiny_data):
         state, loss = fn(state, cc, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_lazy_adam_matches_dense_when_cluster_covers_all(tiny_data):
+    """With ONE cluster covering every node and negatives forced unique &
+    disjoint from positives... lazy and dense Adam still differ on untouched
+    rows only; with full coverage + all rows touched, the first step must
+    match dense Adam closely."""
+    cfg = Config(model=ModelConfig(num_layers=1, dim=8),
+                 train=TrainConfig(lr=1e-2, optimizer="lazy_adam", num_clusters=1))
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    parts = [tiny_data.edge_index]
+    cc = build_compact_clusters(parts, nu, align=8)
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        create_lazy_train_state, make_compact_lazy_epoch_fn,
+    )
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+
+    params = init_params(jax.random.PRNGKey(0), nu, ni, 8)
+    # the epoch fns DONATE their input state — give each path its own copy
+    copy = lambda p: jax.tree.map(lambda x: jnp.array(np.asarray(x)), p)
+    lazy_state = create_lazy_train_state(cfg, copy(params))
+    fn = make_compact_lazy_epoch_fn(cfg)
+    key = jax.random.PRNGKey(5)
+    lazy_state, loss_lazy = fn(lazy_state, cc, key)
+    assert np.isfinite(float(loss_lazy))
+
+    # dense path on the same single cluster (same permutation is trivial: K=1;
+    # same neg draw since both use split(neg_key, 1)[0])
+    cfg_d = Config(model=ModelConfig(num_layers=1, dim=8),
+                   train=TrainConfig(lr=1e-2, num_clusters=1))
+    dense_params = copy(params)
+    dense_state = TrainState(dense_params, make_optimizer(cfg_d).init(dense_params),
+                             jnp.zeros((), jnp.int32))
+    fn_d = make_compact_epoch_fn(cfg_d)
+    dense_state, loss_dense = fn_d(dense_state, cc, key)
+
+    np.testing.assert_allclose(float(loss_lazy), float(loss_dense), rtol=1e-5)
+    # params after one step: identical on rows with gradients; rows never
+    # touched (no interactions) may differ by the dense-Adam zero-grad update
+    du = np.abs(np.asarray(lazy_state.params.user_emb) -
+                np.asarray(dense_state.params.user_emb))
+    assert np.median(du) < 1e-6 or du.max() < 5e-3
+
+
+def test_lazy_adam_trains(tiny_data):
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                 train=TrainConfig(lr=1e-2, optimizer="lazy_adam"))
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    parts = [p for p in partition_bipartite_greedy(tiny_data.edge_index, nu, n, 3)
+             if p.shape[1] > 0]
+    cc = build_compact_clusters(parts, nu, align=8)
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        create_lazy_train_state,
+    )
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+
+    state = create_lazy_train_state(cfg, init_params(jax.random.PRNGKey(1), nu, ni, 8))
+    fn = make_compact_epoch_fn(cfg)   # dispatches to lazy via cfg
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, loss = fn(state, cc, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.opt_state.count) == 5 * len(parts)
