@@ -49,7 +49,10 @@ def sampled_recall_at_k(
         return jnp.mean(hits / num_pos)
 
     keys = jax.random.split(key, num_samples)
-    return jnp.mean(jax.vmap(one_sample)(keys))
+    # sequential map, not vmap: each draw materializes a (sample_size, 2B)
+    # score matrix — at ML-25M scale that is ~0.5 GB, and 10 vmapped copies
+    # would blow HBM
+    return jnp.mean(jax.lax.map(one_sample, keys))
 
 
 def recall_ndcg_at_k(
