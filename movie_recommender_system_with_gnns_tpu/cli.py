@@ -66,8 +66,23 @@ def cmd_train(args) -> int:
                     meta={"val_recall": recall, "config": cfg.to_json()})
 
     logger = MetricsLogger(os.path.join(cfg.train.histories_dir, "metrics.jsonl"))
-    state, hist = train_model(cfg, state, clusters, val, test,
-                              save_checkpoint=save_cb, metrics_logger=logger)
+    if args.mesh:
+        # mesh-sharded full-graph training: "--mesh DPxMP", e.g. 2x4
+        from .config import MeshConfig
+        from .training.distributed import train_model_sharded
+
+        dp, mp = (int(x) for x in args.mesh.lower().split("x"))
+        cfg = cfg.replace(mesh=MeshConfig(data_parallel=dp, model_parallel=mp))
+        train_e, _, _ = bundle.splits
+        params, hist = train_model_sharded(
+            cfg, data.num_users, data.num_items, train_e, val, test,
+            save_checkpoint=lambda p, r: save_params(
+                cfg.train.checkpoint_path, p, meta={"val_recall": r}),
+            metrics_logger=logger)
+        state = state._replace(params=params)
+    else:
+        state, hist = train_model(cfg, state, clusters, val, test,
+                                  save_checkpoint=save_cb, metrics_logger=logger)
     save_histories(hist, cfg.train.histories_dir)
 
     if args.full_eval:
@@ -210,6 +225,9 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("train", help="train the LightGCN model")
+    pt.add_argument("--mesh", default=None,
+                    help="mesh-sharded training: DPxMP devices, e.g. 2x4 "
+                         "(full-graph regime, row-sharded tables)")
     pt.add_argument("--full-eval", action="store_true",
                     help="post-training full-ranking Recall@k/NDCG@k on test")
     pt.add_argument("--full-eval-k", type=int, default=10)

@@ -79,6 +79,29 @@ def build_membership_hash(
     return np.concatenate([h, pad])
 
 
+def get_user_items(edge_index: np.ndarray) -> dict:
+    """User → interacted-items dict (reference helpers.py:24-41 API parity;
+    vectorized instead of the reference's per-edge Python loop)."""
+    head = np.asarray(edge_index[0])
+    tail = np.asarray(edge_index[1])
+    order = np.argsort(head, kind="stable")
+    h, t = head[order], tail[order]
+    uniq, starts = np.unique(h, return_index=True)
+    ends = np.append(starts[1:], h.shape[0])
+    return {int(u): t[s:e].tolist() for u, s, e in zip(uniq, starts, ends)}
+
+
+def is_in_feasible(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Columns of ``a`` (2, n) whose (x, y) pairs do NOT appear in ``b`` (2, m)
+    — reference helpers.py:43-62 semantics via Cantor-hash set difference."""
+    def h(e):
+        s = e[0].astype(np.int64) + e[1].astype(np.int64)
+        return s * (s + 1) // 2 + e[1].astype(np.int64)
+
+    mask = ~np.isin(h(np.asarray(a)), h(np.asarray(b)))
+    return np.asarray(a)[:, mask]
+
+
 def sample_negative_feasible(
     key: jax.Array,
     user: jax.Array,

@@ -60,6 +60,27 @@ def create_train_state(cfg: Config, num_users: int, num_items: int,
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def compute_embeddings(
+    params: LightGCNParams,
+    graph: DeviceCOO,
+    batch: TripletBatch,
+    neg_item: jax.Array,
+    cfg: Config,
+    spmm: Callable = spmm_segment,
+):
+    """(final_user, initial_user, final_pos, initial_pos, final_neg,
+    initial_neg) — the reference's ``compute_embeddings`` 6-tuple contract
+    (train_test.py:105-134), as a pure function."""
+    users_final, items_final = propagate(
+        params, graph, spmm, cfg.model.num_layers, cfg.model.readout,
+    )
+    return (
+        users_final[batch.user], params.user_emb[batch.user],
+        items_final[batch.pos_item], params.item_emb[batch.pos_item],
+        items_final[neg_item], params.item_emb[neg_item],
+    )
+
+
 def compute_loss(
     params: LightGCNParams,
     graph: DeviceCOO,
@@ -71,16 +92,8 @@ def compute_loss(
     """Propagate on the batch graph and evaluate the reference BPR loss on the
     (user, pos, neg) triplets — ``compute_embeddings`` + ``bpr_loss``
     (train_test.py:105-134, :18-51) in one pure function."""
-    users_final, items_final = propagate(
-        params, graph, spmm, cfg.model.num_layers, cfg.model.readout,
-    )
-    uf = users_final[batch.user]
-    ui = params.user_emb[batch.user]
-    pf = items_final[batch.pos_item]
-    pi = params.item_emb[batch.pos_item]
-    nf = items_final[neg_item]
-    ni = params.item_emb[neg_item]
-    return bpr_loss(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=batch.mask)
+    embs = compute_embeddings(params, graph, batch, neg_item, cfg, spmm)
+    return bpr_loss(*embs, cfg.train.bpr_coeff, mask=batch.mask)
 
 
 def make_train_step(cfg: Config, spmm: Callable = spmm_segment):

@@ -65,6 +65,26 @@ def trace_span(name: str, logger: Optional[MetricsLogger] = None,
             print(f"[trace] {name}: {dt:.3f}s")
 
 
+def device_memory_stats() -> Dict[str, Any]:
+    """Per-device memory statistics (the production version of the reference's
+    commented-out @profile memory tracking, dataset_handler.py:13-14)."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats()
+        except (RuntimeError, NotImplementedError, AttributeError):
+            stats = None
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+    return out
+
+
 @contextlib.contextmanager
 def profile_to(log_dir: str) -> Iterator[None]:
     """Capture a jax.profiler trace; no-op (with a notice) when the backend
