@@ -183,6 +183,32 @@ def bench_torch_cpu_epoch(data, parts, scale, max_clusters=None):
     return dt * (len(parts) / len(sel))
 
 
+def bench_serving(data, scale, batch=256, iters=20):
+    """Batched MIPS retrieval throughput over the full catalog (queries/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.ops.topk import mips_topk
+
+    params = init_params(jax.random.PRNGKey(0), data.num_users, data.num_items,
+                        scale["dim"])
+
+    @jax.jit
+    def serve(q):
+        return mips_topk(q, params.item_emb, k=10, block=8192)
+
+    q = params.user_emb[:batch]
+    s, i = serve(q)
+    float(s[0, 0])
+    t0 = time.time()
+    for _ in range(iters):
+        s, i = serve(q)
+    float(s[0, 0])
+    dt = (time.time() - t0) / iters
+    return batch / dt
+
+
 def get_baseline(data, parts, scale, scale_name):
     key = f"{scale_name}-E{data.edge_index.shape[1]}-torchcpu-epoch-s"
     cache = {}
@@ -219,6 +245,10 @@ def main():
         sys.stderr.write(f"[bench] torch-CPU baseline epoch: {baseline_s:.1f}s"
                          f" ({'cached' if cached else 'measured'})\n")
 
+    serving_qps = bench_serving(data, scale)
+    sys.stderr.write(f"[bench] serving: {serving_qps:.0f} queries/s "
+                     f"(batch-256 top-10 over {data.num_items} items)\n")
+
     edges = data.edge_index.shape[1]
     result = {
         "metric": f"ml25m_epoch_time_s" if args.scale == "full" else f"{args.scale}_epoch_time_s",
@@ -226,6 +256,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline_s / epoch_s, 2) if baseline_s else None,
         "edges_per_s": round(edges / epoch_s),
+        "serving_qps_top10": round(serving_qps),
         "config": f"LightGCN L={scale['layers']} d={scale['dim']} "
                   f"clusters={scale['clusters']} U={data.num_users} I={data.num_items} E={edges}",
         "baseline": "torch-cpu reference-math epoch (no GPU available; reference publishes no numbers)",

@@ -79,9 +79,14 @@ class TrainConfig:
     trainer: str = "compact"
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments
-    # (torch SparseAdam analog) — ~3x faster steps at 25M scale, near-identical
-    # trajectories (see training/compact.py docstring for the exact semantics)
+    # (torch SparseAdam analog; see training/compact.py for exact semantics)
     optimizer: str = "adam"
+    # full-graph regime knobs (milestone-3 scale: 4-layer d=128 on ML-25M):
+    # triplet minibatch per step (None = all train triplets in one step — only
+    # viable for small graphs), and edge-chunked propagation to bound the
+    # (E, d) gather memory (1 = unchunked)
+    batch_size: Optional[int] = None
+    spmm_chunks: int = 1
     # eval / metric knobs
     eval_top_k: int = 100             # train_test.py:136
     recall_num_samples: int = 10      # train_test.py:165

@@ -101,6 +101,38 @@ def spmm_segment(coo: DeviceCOO, emb: jax.Array) -> jax.Array:
     )
 
 
+def make_spmm_chunked(num_chunks: int):
+    """Edge-chunked segment-sum propagation for memory-bounded full-graph steps.
+
+    The plain path materializes the full (E, d) gathered-message tensor — at
+    ML-25M with d=128 that is ~12.7 GB per layer and overflows one chip's HBM.
+    This variant scans ``num_chunks`` edge blocks, accumulating into the (N, d)
+    output, so peak extra memory is (E/num_chunks, d). Edges are dst-sorted, so
+    every chunk's scatter-add touches a contiguous row range.
+    """
+
+    def spmm_chunked(coo: DeviceCOO, emb: jax.Array) -> jax.Array:
+        e_pad = coo.src.shape[0]
+        if e_pad % num_chunks != 0:
+            raise ValueError(f"padded edge count {e_pad} not divisible by "
+                             f"num_chunks={num_chunks}")
+        c = e_pad // num_chunks
+        src = coo.src.reshape(num_chunks, c)
+        dst = coo.dst.reshape(num_chunks, c)
+        w = coo.w.reshape(num_chunks, c)
+
+        def body(acc, x):
+            s, d, wt = x
+            msg = emb[s] * wt[:, None].astype(emb.dtype)
+            return acc.at[d].add(msg), None
+
+        acc0 = jnp.zeros((coo.num_nodes, emb.shape[1]), emb.dtype)
+        out, _ = jax.lax.scan(body, acc0, (src, dst, w))
+        return out
+
+    return spmm_chunked
+
+
 def spmm_ell(ell: DeviceELL, emb: jax.Array) -> jax.Array:
     """Scatter-free propagation over degree-bucketed ELL blocks.
 

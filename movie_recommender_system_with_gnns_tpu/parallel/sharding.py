@@ -196,8 +196,14 @@ def make_sharded_train_step(
     num_layers = cfg.model.num_layers
     readout = cfg.model.readout
 
+    spmm_chunks = max(int(getattr(cfg.train, "spmm_chunks", 1)), 1)
+
     def local_propagate(u_shard, i_shard, src, dst_local, w):
-        """K layers of (all_gather → local segment-sum); returns local final rows."""
+        """K layers of (all_gather → local segment-sum); returns local final rows.
+
+        With ``cfg.train.spmm_chunks > 1`` the per-layer gather runs as an
+        edge-chunked scan so the (E_shard, d) message tensor never materializes
+        (the milestone-3 big-model regime: d=128 at ML-25M scale)."""
         l_rows = plan.u_loc + plan.i_loc
 
         def gather_full(u_loc_rows, i_loc_rows):
@@ -205,13 +211,31 @@ def make_sharded_train_step(
             itf = jax.lax.all_gather(i_loc_rows, MODEL_AXIS, axis=0, tiled=True)
             return jnp.concatenate([uf, itf], axis=0)          # (n_pad, d)
 
+        def layer(full):
+            if spmm_chunks == 1 or src.shape[0] % spmm_chunks != 0:
+                msg = full[src] * w[:, None]
+                return jax.ops.segment_sum(msg, dst_local, num_segments=l_rows,
+                                           indices_are_sorted=True)
+            c = src.shape[0] // spmm_chunks
+            xs = (src.reshape(spmm_chunks, c), dst_local.reshape(spmm_chunks, c),
+                  w.reshape(spmm_chunks, c))
+
+            def body(acc, x):
+                s, d, wt = x
+                return acc.at[d].add(full[s] * wt[:, None]), None
+
+            # init carry derived from `full` so its varying-axes match the body
+            # output under shard_map's vma typecheck (cf. ops/topk.py)
+            z = jnp.where(jnp.isnan(full[0, 0]), 0.0, 0.0).astype(full.dtype)
+            acc0 = jnp.broadcast_to(z, (l_rows, full.shape[1]))
+            out, _ = jax.lax.scan(body, acc0, xs)
+            return out
+
         u_cur, i_cur = u_shard, i_shard
         acc_u, acc_i = u_shard, i_shard
         for _ in range(num_layers):
             full = gather_full(u_cur, i_cur)
-            msg = full[src] * w[:, None]
-            out = jax.ops.segment_sum(msg, dst_local, num_segments=l_rows,
-                                      indices_are_sorted=True)
+            out = layer(full)
             u_cur, i_cur = out[: plan.u_loc], out[plan.u_loc:]
             acc_u = acc_u + u_cur
             acc_i = acc_i + i_cur

@@ -57,7 +57,25 @@ def train_model_sharded(
     step = make_sharded_train_step(cfg, mesh, plan, opt=adam)(state)
 
     graph = shard_graph(train_edges, plan)
-    batch = pad_batch(triplets_from_edges(train_edges, num_users), pd)
+    all_triplets = triplets_from_edges(train_edges, num_users)
+    true_b = int(np.sum(np.asarray(all_triplets.mask)))
+    bs = cfg.train.batch_size
+    if bs is None or bs >= true_b:
+        batch = pad_batch(all_triplets, pd)
+        steps_per_epoch = 1
+        sample_batch = None
+    else:
+        bs = (bs // pd) * pd or pd
+        steps_per_epoch = max(1, true_b // bs)
+        users_all = all_triplets.user[:true_b]
+        pos_all = all_triplets.pos_item[:true_b]
+
+        @jax.jit
+        def sample_batch(k):
+            idx = jax.random.randint(k, (bs,), 0, true_b)
+            return TripletBatch(users_all[idx], pos_all[idx],
+                                jnp.ones((bs,), bool))
+
     eval_step = make_eval_step(cfg)
 
     hist: Dict[str, List[float]] = {"train_loss": [], "val_loss": [],
@@ -65,12 +83,20 @@ def train_model_sharded(
     best_recall = 0.0
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     for epoch in range(cfg.train.epochs):
-        key, nk, vk = jax.random.split(key, 3)
+        key, vk = jax.random.split(key)
         t0 = time.perf_counter()
-        neg = jax.random.randint(nk, (batch.user.shape[0],), 0, num_items,
-                                 dtype=jnp.int32)
-        state, loss = step(state, graph, batch, neg)
-        train_loss = float(loss)
+        losses = []
+        for s in range(steps_per_epoch):
+            key, nk, bk = jax.random.split(key, 3)
+            if sample_batch is not None:
+                b = sample_batch(bk)
+            else:
+                b = batch
+            neg = jax.random.randint(nk, (b.user.shape[0],), 0, num_items,
+                                     dtype=jnp.int32)
+            state, loss = step(state, graph, b, neg)
+            losses.append(loss)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
         up = unpad_params(state[0], plan)
         val_loss, val_recall = eval_step(up, val[0], val[1], vk)
         val_loss, val_recall = float(val_loss), float(val_recall)

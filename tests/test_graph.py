@@ -84,3 +84,31 @@ def test_csr_roundtrip(tiny_graph):
     assert rowptr[-1] == e.shape[1]
     deg = compute_degrees(e, n)
     np.testing.assert_array_equal(np.diff(rowptr), deg)
+
+
+def test_spmm_chunked_matches_segment(tiny_graph, rng):
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import make_spmm_chunked
+
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))   # padded to mult of 128
+    ref = np.asarray(spmm_segment(coo, jnp.asarray(x)))
+    for k in (1, 2, 4):
+        if coo.src.shape[0] % k:
+            continue
+        out = np.asarray(make_spmm_chunked(k)(coo, jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_chunked_gradients(tiny_graph, rng):
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import make_spmm_chunked
+    import jax
+
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))
+    f_ref = lambda x: jnp.sum(spmm_segment(coo, x) ** 2)
+    f_chk = lambda x: jnp.sum(make_spmm_chunked(2)(coo, x) ** 2)
+    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    g_chk = np.asarray(jax.grad(f_chk)(jnp.asarray(x)))
+    np.testing.assert_allclose(g_chk, g_ref, rtol=1e-4, atol=1e-5)

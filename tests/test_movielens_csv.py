@@ -1,0 +1,58 @@
+"""CSV ingest path: load_movielens on fabricated MovieLens-format files."""
+
+import numpy as np
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+from movie_recommender_system_with_gnns_tpu.data.movielens import load_movielens
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    ratings = pd.DataFrame({
+        "userId":  [7, 7, 7, 12, 12, 31, 31, 31, 31],
+        "movieId": [100, 200, 300, 100, 400, 200, 300, 400, 500],
+        "rating":  [5.0, 4.0, 3.5, 4.5, 2.0, 4.0, 5.0, 4.0, 4.0],
+        "timestamp": range(9),
+    })
+    movies = pd.DataFrame({
+        "movieId": [100, 200, 300, 400, 500],
+        "title": ["A", "B", "C", "D", "E"],
+        "genres": ["x"] * 5,
+    })
+    ratings.to_csv(tmp_path / "ratings.csv", index=False)
+    movies.to_csv(tmp_path / "movies.csv", index=False)
+    return tmp_path
+
+
+def test_load_movielens_filters_and_maps(csv_dir):
+    data = load_movielens(str(csv_dir / "ratings.csv"), str(csv_dir / "movies.csv"))
+    # rating >= 4 keeps 7 rows: users {7,12,31}, movies {100,200,400,300,500}
+    assert data.num_users == 3
+    assert data.num_items == 5
+    # first-appearance order (dataset_handler.py:115-118): user 7 -> 0
+    assert int(data.user_index(7)) == 0
+    assert int(data.user_index(12)) == 1
+    assert int(data.user_index(31)) == 2
+    assert int(data.user_index(999)) == -1
+    # movie node ids offset by num_users
+    assert int(data.movie_index(100)) == 3 + 0
+    # undirected doubling: 7 kept interactions -> 14 directed edges
+    assert data.edge_index.shape == (2, 14)
+    # titles resolve
+    assert data.title_of(200) == "B"
+    # raw id round-trip
+    m_node = int(data.movie_index(400))
+    assert int(data.raw_movie_id(m_node - data.num_users)) == 400
+
+
+def test_load_movielens_excludes_below_threshold(csv_dir):
+    data = load_movielens(str(csv_dir / "ratings.csv"), str(csv_dir / "movies.csv"))
+    # (7, 300) was rated 3.5 -> edge must not exist; (31, 300) rated 5.0 exists
+    u7 = int(data.user_index(7))
+    m300 = int(data.movie_index(300))
+    pairs = set(map(tuple, data.edge_index.T.tolist()))
+    assert (u7, m300) not in pairs
+    u31 = int(data.user_index(31))
+    assert (u31, m300) in pairs

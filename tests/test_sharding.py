@@ -123,3 +123,27 @@ def test_sharded_driver_end_to_end(tiny_data, mesh, tmp_path):
     assert params.user_emb.shape == (nu, 8)
     assert hist["train_loss"][-1] < hist["train_loss"][0]
     assert "test_loss" in hist
+
+
+def test_sharded_minibatch_and_chunked(tiny_data, mesh, tmp_path):
+    """Milestone-3 knobs: triplet minibatching + chunked propagation."""
+    from movie_recommender_system_with_gnns_tpu.data.movielens import split_edges
+    from movie_recommender_system_with_gnns_tpu.training.distributed import (
+        train_model_sharded,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import build_eval_batch
+
+    cfg = Config(
+        model=ModelConfig(num_layers=2, dim=8),
+        train=TrainConfig(epochs=2, lr=1e-2, batch_size=256, spmm_chunks=2,
+                          recall_sample_size=16, recall_num_samples=2,
+                          eval_top_k=10),
+    )
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    train_e, val_e, test_e = split_edges(tiny_data, str(tmp_path / "idx2"))
+    val = build_eval_batch(val_e, n, nu)
+    test = build_eval_batch(test_e, n, nu)
+    params, hist = train_model_sharded(cfg, nu, ni, train_e, val, test, mesh=mesh)
+    assert np.isfinite(hist["train_loss"][-1])
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
