@@ -94,6 +94,10 @@ class TrainConfig:
     checkpoint_path: str = "best_model.npz"
     histories_dir: str = "data/histories"
     resume: bool = True               # train_test.py:279-280
+    # periodic FULL train-state checkpoints (params + Adam moments + step) for
+    # bit-exact crash recovery — beyond the reference's best-params-only policy
+    state_checkpoint_path: Optional[str] = None
+    state_checkpoint_every: int = 0   # epochs; 0 = off
 
 
 @dataclass(frozen=True)

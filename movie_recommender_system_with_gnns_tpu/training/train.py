@@ -349,6 +349,13 @@ def train_model(
         if metrics_logger is not None:
             metrics_logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                                val_recall=val_recall, epoch_time_s=dt)
+        if (cfg.train.state_checkpoint_path
+                and cfg.train.state_checkpoint_every > 0
+                and (epoch + 1) % cfg.train.state_checkpoint_every == 0):
+            from .checkpoint import save_train_state
+
+            save_train_state(cfg.train.state_checkpoint_path, state,
+                             meta={"epoch": epoch})
         if val_recall > best_recall:
             best_recall = val_recall
             if save_checkpoint is not None:

@@ -29,10 +29,21 @@ def describe(series) -> Dict[str, float]:
     }
 
 
-def eda_report(ratings, movies=None, min_rating: float = 4.0,
-               verbose: bool = True) -> Dict[str, object]:
+def eda_report(ratings, movies=None, tags=None, min_rating: float = 4.0,
+               verbose: bool = True, show_heads: bool = True) -> Dict[str, object]:
     """Compute the reference EDA statistics (eda.py:76-108) for a ratings frame
-    with columns userId, movieId, rating."""
+    with columns userId, movieId, rating. ``movies`` may carry a ``genres``
+    column and ``tags`` a tag frame — both reported like the reference script
+    when present."""
+    if verbose and show_heads:
+        print("ratings head:")
+        print(ratings.head())
+        if movies is not None:
+            print("movies head:")
+            print(movies.head())
+        if tags is not None:
+            print("tags head:")
+            print(tags.head())
     n = len(ratings)
     users = ratings["userId"].to_numpy()
     movies_col = ratings["movieId"].to_numpy()
@@ -56,6 +67,17 @@ def eda_report(ratings, movies=None, min_rating: float = 4.0,
     }
     if movies is not None:
         rep["num_movie_titles"] = int(len(movies))
+        if "genres" in getattr(movies, "columns", []):
+            genre_counts: Dict[str, int] = {}
+            for g in movies["genres"].astype(str):
+                for tok in g.split("|"):
+                    genre_counts[tok] = genre_counts.get(tok, 0) + 1
+            rep["genres"] = dict(sorted(genre_counts.items(),
+                                        key=lambda kv: -kv[1]))
+    if tags is not None:
+        rep["num_tags"] = int(len(tags))
+        if "tag" in getattr(tags, "columns", []):
+            rep["num_unique_tags"] = int(tags["tag"].nunique())
 
     if verbose:
         print(f"ratings: {n}")
