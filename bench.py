@@ -93,10 +93,16 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
     n = data.num_users + data.num_items
     t0 = time.time()
     if trainer == "compact":
+        from movie_recommender_system_with_gnns_tpu.training.compact import densify_adjacency
+
         stacked = build_compact_clusters(parts, data.num_users)
+        dense = stacked.u_pad + stacked.i_pad <= cfg.train.dense_adjacency_max_nodes
+        if dense:
+            stacked = densify_adjacency(stacked)
         epoch_fn = make_compact_epoch_fn(cfg)
         sys.stderr.write(f"[bench] compact clusters: u_pad={stacked.u_pad} "
-                         f"i_pad={stacked.i_pad} e_pad={stacked.src.shape[1]}\n")
+                         f"i_pad={stacked.i_pad} e_pad={stacked.src.shape[1]} "
+                         f"dense_adj={dense}\n")
     else:
         clusters = build_cluster_batches(parts, data.num_users, n, bucket_floor=4096)
         stacked = StackedClusters.from_batches(clusters)

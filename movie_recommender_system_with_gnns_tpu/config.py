@@ -87,6 +87,10 @@ class TrainConfig:
     # (E, d) gather memory (1 = unchunked)
     batch_size: Optional[int] = None
     spmm_chunks: int = 1
+    # densify each compact cluster's adjacency into an MXU-matmul block when
+    # the local node count allows (training/compact.py::densify_adjacency)
+    dense_adjacency: bool = True
+    dense_adjacency_max_nodes: int = 4096
     # eval / metric knobs
     eval_top_k: int = 100             # train_test.py:136
     recall_num_samples: int = 10      # train_test.py:165

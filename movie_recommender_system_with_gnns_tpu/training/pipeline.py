@@ -107,9 +107,14 @@ def prepare_training_data(
         parts = [train_e]
 
     if cfg.train.trainer == "compact":
-        from .compact import build_compact_clusters
+        from .compact import build_compact_clusters, densify_adjacency
 
         train_obj = build_compact_clusters(parts, data.num_users)
+        if (cfg.train.dense_adjacency
+                and train_obj.u_pad + train_obj.i_pad
+                <= cfg.train.dense_adjacency_max_nodes):
+            train_obj = densify_adjacency(
+                train_obj, max_local_nodes=cfg.train.dense_adjacency_max_nodes)
     else:
         train_obj = build_cluster_batches(parts, data.num_users, num_nodes)
 

@@ -164,3 +164,51 @@ def test_lazy_adam_trains(tiny_data):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert int(state.opt_state.count) == 5 * len(parts)
+
+
+def test_dense_adjacency_matches_segment(tiny_data):
+    """Densified-Â propagation (MXU path) ≡ segment-sum path (f32 adj)."""
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        densify_adjacency,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    parts = [p for p in partition_bipartite_greedy(tiny_data.edge_index, nu, n, 2)
+             if p.shape[1] > 0]
+    params = init_params(jax.random.PRNGKey(2), nu, ni, cfg.model.dim)
+    cc = build_compact_clusters(parts, nu, align=8)
+    ccd = densify_adjacency(cc, dtype=jnp.float32)
+
+    for ci in range(len(parts)):
+        neg = jax.random.randint(jax.random.PRNGKey(ci), (cc.user_local.shape[1],),
+                                 0, ni, dtype=jnp.int32)
+        cluster = (cc.user_ids[ci], cc.item_ids[ci], cc.src[ci], cc.dst[ci],
+                   cc.w[ci], cc.user_local[ci], cc.pos_local[ci], cc.mask[ci])
+        l_seg = compact_cluster_loss(params, cluster, neg, cfg, cc.u_pad, cc.i_pad)
+        l_dense = compact_cluster_loss(params, cluster, neg, cfg, cc.u_pad,
+                                       cc.i_pad, adj=ccd.adj[ci])
+        np.testing.assert_allclose(float(l_dense), float(l_seg), rtol=1e-5)
+
+
+def test_dense_adjacency_epoch_runs(tiny_data):
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        densify_adjacency,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    parts = [p for p in partition_bipartite_greedy(tiny_data.edge_index, nu, n, 3)
+             if p.shape[1] > 0]
+    cc = densify_adjacency(build_compact_clusters(parts, nu, align=8))
+    state = create_train_state(cfg, nu, ni)
+    fn = make_compact_epoch_fn(cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, loss = fn(state, cc, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
