@@ -24,19 +24,17 @@ are all-to-all-ish anyway and ICI all_gather bandwidth beats per-edge RDMA.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable, List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
 from ..data.graph import gcn_norm
 from ..models.lightgcn import LightGCNParams
-from ..ops.bpr import bpr_loss
 from ..ops.sampling import TripletBatch
 from ..ops.topk import merge_topk, mips_topk
 from .mesh import DATA_AXIS, MODEL_AXIS

@@ -26,7 +26,7 @@ fusion as training.train.make_epoch_fn).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ from ..parallel.sharding import (
     ShardPlan, make_sharded_train_step, pad_batch, pad_params, shard_graph,
     unpad_params,
 )
-from .train import TrainState, make_eval_step
+from .train import make_eval_step
 
 
 def train_model_sharded(

@@ -20,7 +20,7 @@ import numpy as np
 from ..config import Config
 from ..data.graph import COOGraph
 from ..data.movielens import MovieLensData, make_synthetic_movielens, split_edges
-from ..data.partition import partition_bipartite_greedy, partition_edges_random
+from ..data.partition import partition_bipartite_greedy
 from ..ops.sampling import triplets_from_edges
 from ..ops.spmm import DeviceCOO
 from .train import ClusterBatch, build_eval_batch

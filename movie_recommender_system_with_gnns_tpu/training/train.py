@@ -29,8 +29,8 @@ import optax
 
 from ..config import Config
 from ..models.lightgcn import LightGCNParams, init_params, propagate
-from ..ops.bpr import bpr_loss, bpr_loss_standard
-from ..ops.metrics import recall_ndcg_at_k, sampled_recall_at_k
+from ..ops.bpr import bpr_loss
+from ..ops.metrics import sampled_recall_at_k
 from ..ops.sampling import TripletBatch, sample_negative, triplets_from_edges
 from ..ops.spmm import DeviceCOO, spmm_segment
 from ..data.graph import COOGraph

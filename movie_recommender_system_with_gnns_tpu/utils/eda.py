@@ -10,7 +10,7 @@ eda.py:110-111; we leave data alone).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -12,7 +12,7 @@ file (headless Agg backend) and return the figure.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
