@@ -100,3 +100,41 @@ def test_readout_standard_differs(tiny_data):
     ref_u, _ = propagate(params, coo, spmm_segment, 2, readout="reference")
     std_u, _ = propagate(params, coo, spmm_segment, 2, readout="standard")
     np.testing.assert_allclose(np.asarray(std_u), np.asarray(ref_u) * 3.0, rtol=1e-5)
+
+
+def test_sampled_recall_parity_in_expectation(rng):
+    """SURVEY §4(b): recall oracle parity. Randomness sources differ (np vs
+    jax PRNG), so compare expectations over several draws of the MC metric on
+    identical embeddings — a planted structure gives a known separation."""
+    import jax
+
+    b, d = 400, 16
+    # planted: users identical to their positive item => pos always ranked high
+    pos = rng.standard_normal((b, d)).astype(np.float32)
+    users = pos + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    neg = rng.standard_normal((b, d)).astype(np.float32)
+
+    def torch_recall(k=50, num_samples=20, sample_size=100, seed=0):
+        np_rng = np.random.default_rng(seed)
+        pos_n = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+        neg_n = neg / np.linalg.norm(neg, axis=1, keepdims=True)
+        items = np.concatenate([pos_n, neg_n])
+        total = 0.0
+        for _ in range(num_samples):
+            idx = np_rng.choice(b, sample_size, replace=False)
+            u = users[idx]
+            u = u / np.linalg.norm(u, axis=1, keepdims=True)
+            scores = u @ items.T
+            topk = np.argsort(-scores, axis=1)[:, :k]
+            hits = (topk < b).sum(axis=1)
+            total += float(np.mean(hits / b))
+        return total / num_samples
+
+    from movie_recommender_system_with_gnns_tpu.ops.metrics import sampled_recall_at_k
+
+    ours = float(sampled_recall_at_k(
+        jax.random.PRNGKey(0), jnp.asarray(users), jnp.asarray(pos),
+        jnp.asarray(neg), k=50, num_samples=20, sample_size=100))
+    oracle = torch_recall()
+    # same metric semantics => same expectation (both ≈ k_eff/b); allow MC noise
+    assert abs(ours - oracle) / oracle < 0.15, (ours, oracle)
