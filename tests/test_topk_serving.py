@@ -13,10 +13,15 @@ from movie_recommender_system_with_gnns_tpu.serving.recommend import (
 )
 
 
-def test_mips_topk_matches_full_sort(rng):
+import pytest
+
+
+@pytest.mark.parametrize("method", ["flat", "blocked"])
+def test_mips_topk_matches_full_sort(rng, method):
     q = rng.standard_normal((7, 16)).astype(np.float32)
     c = rng.standard_normal((1000, 16)).astype(np.float32)
-    scores, idx = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, block=256)
+    scores, idx = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, block=256,
+                            method=method)
     ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
     ref_idx = np.argsort(-ref, axis=1)[:, :10]
     np.testing.assert_allclose(
@@ -35,7 +40,13 @@ def test_mips_topk_exclusion(rng):
     mask = np.zeros((3, 200), bool)
     mask[np.arange(3), banned] = True
     _, idx = mips_topk(jnp.asarray(q), jnp.asarray(c), k=5,
-                       exclude_mask=jnp.asarray(mask), block=64)
+                       exclude_mask=jnp.asarray(mask), block=64,
+                       method="blocked")
+    idx_flat = np.asarray(mips_topk(jnp.asarray(q), jnp.asarray(c), k=5,
+                                    exclude_mask=jnp.asarray(mask),
+                                    method="flat")[1])
+    for r in range(3):
+        assert banned[r] not in idx_flat[r]
     idx = np.asarray(idx)
     for r in range(3):
         assert banned[r] not in idx[r]
