@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--out", default="runs/ml25m")
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--eval-users", type=int, default=5000)
+    ap.add_argument("--loss", default="reference", choices=["reference", "standard"])
+    ap.add_argument("--readout", default="reference", choices=["reference", "standard"])
+    ap.add_argument("--eval-propagated", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -52,8 +55,8 @@ def main():
                         synthetic_interactions=18_000_000,
                         synthetic_communities=200, synthetic_power=0.9,
                         indexes_dir=os.path.join(args.out, "indexes")),
-        model=ModelConfig(num_layers=3, dim=64),
-        train=TrainConfig(epochs=args.epochs, num_clusters=100,
+        model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
+        train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),
     )
@@ -96,8 +99,10 @@ def main():
 
     # final quality numbers
     r10, n10 = evaluate_full_ranking(state.params, train_e, test_e,
-                                     data.num_users, k=10, max_users=args.eval_users)
-    print(f"TEST full-ranking Recall@10 {r10:.4f} NDCG@10 {n10:.4f}")
+                                     data.num_users, k=10, max_users=args.eval_users,
+                                     use_propagated=args.eval_propagated, cfg=cfg)
+    print(f"TEST full-ranking Recall@10 {r10:.4f} NDCG@10 {n10:.4f} "
+          f"(propagated={args.eval_propagated})")
     logger.log(cfg.train.epochs, test_full_recall10=r10, test_full_ndcg10=n10)
 
     save_histories(hist, args.out)

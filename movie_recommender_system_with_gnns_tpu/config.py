@@ -66,6 +66,9 @@ class TrainConfig:
     epochs: int = 3                   # train_test.py:287
     lr: float = 1e-3                  # train_test.py:216
     bpr_coeff: float = 5e-3           # train_test.py:21
+    # "reference" keeps the quirky cosine-softplus loss with its negative sign
+    # (train_test.py:18-51); "standard" is textbook BPR (-log sigmoid margin)
+    loss: str = "reference"
     grad_clip_norm: float = 1.0       # train_test.py:95
     adam_b1: float = 0.9
     adam_b2: float = 0.999

@@ -84,3 +84,12 @@ def bpr_loss_standard(
     pos = jnp.sum(emb_users_final * emb_pos_items_final, axis=1)
     neg = jnp.sum(emb_users_final * emb_neg_items_final, axis=1)
     return _masked_mean(jax.nn.softplus(neg - pos), mask) + reg_loss
+
+
+def select_bpr_loss(name: str):
+    """Loss selector for config wiring: 'reference' | 'standard'."""
+    if name == "reference":
+        return bpr_loss
+    if name == "standard":
+        return bpr_loss_standard
+    raise ValueError(f"unknown loss {name!r}")

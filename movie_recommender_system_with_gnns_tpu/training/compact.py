@@ -36,7 +36,7 @@ import optax
 from ..config import Config
 from ..data.graph import gcn_norm
 from ..models.lightgcn import LightGCNParams
-from ..ops.bpr import bpr_loss
+from ..ops.bpr import bpr_loss, select_bpr_loss
 from ..ops.sampling import sample_negative
 from .train import TrainState, make_optimizer
 
@@ -246,7 +246,8 @@ def compact_cluster_loss(
     in_cluster = item_ids[loc] == neg
     nf = jnp.where(in_cluster[:, None], fi[loc], ni * scale)
 
-    return bpr_loss(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=mask)
+    loss_fn = select_bpr_loss(cfg.train.loss)
+    return loss_fn(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=mask)
 
 
 # ---------------------------------------------------------------------------
@@ -330,8 +331,9 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, cc.i_pad - 1)
             in_cluster = item_ids[loc] == neg
             nf = jnp.where(in_cluster[:, None], fi[loc], n_rows * scale)
-            return bpr_loss(uf, ui, pf, pi, nf, n_rows, cfg.train.bpr_coeff,
-                            mask=mask)
+            loss_fn = select_bpr_loss(cfg.train.loss)
+            return loss_fn(uf, ui, pf, pi, nf, n_rows, cfg.train.bpr_coeff,
+                           mask=mask)
 
         def body(carry, x):
             params, ost = carry

@@ -29,7 +29,7 @@ import optax
 
 from ..config import Config
 from ..models.lightgcn import LightGCNParams, init_params, propagate
-from ..ops.bpr import bpr_loss
+from ..ops.bpr import bpr_loss, select_bpr_loss
 from ..ops.metrics import sampled_recall_at_k
 from ..ops.sampling import TripletBatch, sample_negative, triplets_from_edges
 from ..ops.spmm import DeviceCOO, spmm_segment
@@ -93,7 +93,8 @@ def compute_loss(
     (user, pos, neg) triplets — ``compute_embeddings`` + ``bpr_loss``
     (train_test.py:105-134, :18-51) in one pure function."""
     embs = compute_embeddings(params, graph, batch, neg_item, cfg, spmm)
-    return bpr_loss(*embs, cfg.train.bpr_coeff, mask=batch.mask)
+    loss_fn = select_bpr_loss(cfg.train.loss)
+    return loss_fn(*embs, cfg.train.bpr_coeff, mask=batch.mask)
 
 
 def make_train_step(cfg: Config, spmm: Callable = spmm_segment):
