@@ -1,3 +1,4 @@
+from .handler import MovieLensDataHandler
 from .graph import COOGraph, EllGraph, build_csr, compute_degrees, gcn_norm
 from .movielens import (
     MovieLensData, download_and_extract_dataset, load_movielens,
@@ -8,6 +9,7 @@ from .partition import (
 )
 
 __all__ = [
+    "MovieLensDataHandler",
     "MovieLensData", "load_movielens", "make_synthetic_movielens",
     "split_edges", "to_undirected", "download_and_extract_dataset",
     "COOGraph", "EllGraph", "build_csr", "gcn_norm", "compute_degrees",

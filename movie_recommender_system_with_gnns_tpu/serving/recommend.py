@@ -76,7 +76,11 @@ def recommend_from_user(
     excluded_train_items: Optional[Sequence[int]] = None,
     top_k: int = 10,
 ) -> Dict[str, Union[str, List[Dict[str, Any]]]]:
-    """Top-k movies for a raw userId (reference recommend_from_user, :12-63)."""
+    """Top-k movies for a raw userId (reference recommend_from_user, :12-63).
+
+    ``data`` accepts either a MovieLensData or the reference-API
+    MovieLensDataHandler (data/handler.py)."""
+    data = getattr(data, "data", data)
     uidx = int(data.user_index(user_id))
     if uidx < 0:
         return {"error": "Invalid user ID"}
@@ -99,6 +103,7 @@ def recommend_from_movie(
     top_k: int = 10,
 ) -> Dict[str, Union[str, List[Dict[str, Any]]]]:
     """Top-k users for a raw movieId (reference recommend_from_movie, :65-113)."""
+    data = getattr(data, "data", data)
     node = int(data.movie_index(movie_id))
     if node < 0:
         return {"error": "Invalid movie ID"}

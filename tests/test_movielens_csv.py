@@ -56,3 +56,29 @@ def test_load_movielens_excludes_below_threshold(csv_dir):
     assert (u7, m300) not in pairs
     u31 = int(data.user_index(31))
     assert (u31, m300) in pairs
+
+
+def test_data_handler_reference_api(csv_dir, tmp_path):
+    """Drop-in MovieLensDataHandler exposes the reference's exact surface."""
+    from movie_recommender_system_with_gnns_tpu.data.handler import MovieLensDataHandler
+
+    dh = MovieLensDataHandler(str(csv_dir / "ratings.csv"),
+                              str(csv_dir / "movies.csv"),
+                              indexes_dir=str(tmp_path / "idx"))
+    nu, ni = dh.get_num_users_items()
+    assert (nu, ni) == (3, 5)
+    # dict id maps with the reference's offset convention
+    assert dh.user_id_map[7] == 0
+    assert dh.movie_id_map[100] == nu + 0
+    assert dh.id_user_map[0] == 7
+    assert dh.id_movie_map[nu + 0] == 100
+    assert dh.movies is not None
+    assert dh.edge_index.shape[0] == 2
+
+    train, val, test = dh.get_datasets()
+    assert train.shape[1] + val.shape[1] + test.shape[1] == dh.edge_index.shape[1]
+
+    loader, val2, test2 = dh.get_data_training(num_train_clusters=2)
+    assert len(loader) >= 1
+    for batch in loader:   # iterable of cluster batches, like the reference loop
+        assert batch.num_edges > 0
