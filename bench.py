@@ -195,14 +195,15 @@ def bench_serving(data, scale, batch=256, iters=20):
     import jax.numpy as jnp
 
     from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
-    from movie_recommender_system_with_gnns_tpu.ops.topk import mips_topk
+    from movie_recommender_system_with_gnns_tpu.ops.pallas_mips import mips_topk_pallas
 
     params = init_params(jax.random.PRNGKey(0), data.num_users, data.num_items,
                         scale["dim"])
 
     @jax.jit
     def serve(q):
-        return mips_topk(q, params.item_emb, k=10, block=8192)
+        # fused Pallas MIPS kernel: fastest exact path (ops/pallas_mips.py)
+        return mips_topk_pallas(q, params.item_emb, k=10, block=8192)
 
     q = params.user_emb[:batch]
     s, i = serve(q)

@@ -1,0 +1,108 @@
+"""Pallas fused MIPS kernel: per-block scoring + in-kernel top-k extraction.
+
+The XLA flat path (ops/topk.py) materializes the (Q, N) score matrix in HBM
+(~60 MB at ML-25M serving scale) before ``approx_max_k`` reads it back. This
+kernel keeps each (Q, BLOCK) score tile in VMEM, extracts the block's top-k by
+iterative max-and-mask on the VPU (Mosaic has no top_k lowering — verified),
+and only writes (num_blocks, Q, k) candidates; a tiny XLA merge finishes.
+HBM traffic drops from ~3·Q·N·4 bytes to N·d + num_blocks·Q·k·8.
+
+Exclusion masks route to the flat path (ops/topk.py handles them); this kernel
+is the throughput path for unfiltered batched retrieval.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bpr import normalize_embedding
+from .topk import merge_topk
+
+NEG_INF = -1e30
+BIG_IDX = 2**30
+
+
+def _mips_block_kernel(n_ref, q_ref, c_ref, os_ref, oi_ref, *, k: int):
+    """One catalog block: scores on the MXU, top-k extraction on the VPU.
+
+    n_ref:  (1, 1) int32 in SMEM — true catalog size (masks padding)
+    q_ref:  (Q, d) queries (VMEM)
+    c_ref:  (B, d) catalog block (VMEM)
+    os_ref: (1, Q, k) block top-k scores
+    oi_ref: (1, Q, k) block top-k GLOBAL indices
+    """
+    j = pl.program_id(0)
+    q = q_ref[:]
+    c = c_ref[:]
+    b = c.shape[0]
+    nq = q.shape[0]
+    s = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (Q, B)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, b), 1) + j * b
+    s = jnp.where(col < n_ref[0, 0], s, NEG_INF)
+    for t in range(k):                                    # static unroll
+        m = jnp.max(s, axis=1)                            # (Q,)
+        is_max = s == m[:, None]
+        idx = jnp.min(jnp.where(is_max, col, BIG_IDX), axis=1)
+        os_ref[0, :, t] = m
+        oi_ref[0, :, t] = idx
+        s = jnp.where(col == idx[:, None], NEG_INF, s)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "normalize"))
+def mips_topk_pallas(
+    query: jax.Array,      # (Q, d)
+    catalog: jax.Array,    # (N, d)
+    k: int = 10,
+    block: int = 8192,
+    normalize: bool = True,
+):
+    """Fused-kernel MIPS top-k; returns (scores (Q, k), indices (Q, k))."""
+    q = normalize_embedding(query) if normalize else query
+    c = normalize_embedding(catalog) if normalize else catalog
+    n, d = c.shape
+    nq = q.shape[0]
+    pad = (-n) % block
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad, d), c.dtype)], axis=0)
+    nb = (n + pad) // block
+
+    kern = functools.partial(_mips_block_kernel, k=k)
+    os_, oi_ = pl.pallas_call(
+        kern,
+        interpret=(jax.default_backend() == "cpu"),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((nq, d), lambda j, n_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, d), lambda j, n_ref: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, nq, k), lambda j, n_ref: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq, k), lambda j, n_ref: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nb, nq, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * nq * block * d,
+            bytes_accessed=(n + pad) * d * 4 + nq * d * 4 + nb * nq * k * 8,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(n, jnp.int32).reshape(1, 1), q.astype(jnp.float32),
+      c.astype(jnp.float32))
+    return merge_topk(os_, oi_, k)

@@ -48,3 +48,27 @@ def test_pallas_spmm_wide_bucket_split(rng):
 def test_select_spmm_default_is_xla():
     assert select_spmm(1000, 64) is spmm_ell
     assert select_spmm(1000, 64, use_pallas=True) is spmm_ell_pallas
+
+
+def test_pallas_mips_matches_flat(rng):
+    """Fused MIPS kernel (interpret mode on CPU; exact-match verified on v5e)."""
+    from movie_recommender_system_with_gnns_tpu.ops.pallas_mips import mips_topk_pallas
+
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    c = rng.standard_normal((1000, 16)).astype(np.float32)
+    s_p, i_p = mips_topk_pallas(jnp.asarray(q), jnp.asarray(c), k=7, block=256)
+    from movie_recommender_system_with_gnns_tpu.ops.topk import mips_topk
+
+    s_x, i_x = mips_topk(jnp.asarray(q), jnp.asarray(c), k=7, method="flat")
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def test_pallas_mips_padding_masked(rng):
+    """Catalog sizes not divisible by block: padding rows must never win."""
+    from movie_recommender_system_with_gnns_tpu.ops.pallas_mips import mips_topk_pallas
+
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    c = rng.standard_normal((130, 8)).astype(np.float32)
+    s, i = mips_topk_pallas(jnp.asarray(q), jnp.asarray(c), k=5, block=64)
+    assert np.all(np.asarray(i) < 130)
