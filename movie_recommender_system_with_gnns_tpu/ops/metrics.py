@@ -39,6 +39,10 @@ def sampled_recall_at_k(
     items = jnp.concatenate([pos_n, neg_n], axis=0)          # (2B, d)
     num_users = user_embs.shape[0]
     num_pos = pos_item_embs.shape[0]
+    # small eval sets: can't draw more users without replacement than exist
+    # (the reference's np.random.choice would raise here too)
+    sample_size = min(sample_size, num_users)
+    k = min(k, items.shape[0])
 
     def one_sample(sk):
         idx = jax.random.choice(sk, num_users, (sample_size,), replace=False)
