@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--loss", default="reference", choices=["reference", "standard"])
     ap.add_argument("--readout", default="reference", choices=["reference", "standard"])
     ap.add_argument("--eval-propagated", action="store_true")
+    ap.add_argument("--partitioner", default="greedy",
+                    choices=["greedy", "random_edges"])
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -57,6 +59,7 @@ def main():
                         indexes_dir=os.path.join(args.out, "indexes")),
         model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
+                          partitioner=args.partitioner,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),
     )

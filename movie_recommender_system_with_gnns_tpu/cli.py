@@ -129,6 +129,33 @@ def cmd_recommend(args) -> int:
         params = compute_serving_tables(params, bundle.splits[0], cfg,
                                         mode="propagated")
 
+    if args.users_file is not None:
+        # batch serving: one raw userId per line -> CSV of top-k per user
+        import numpy as np
+
+        from .serving.recommend import batch_recommend_users
+
+        raw_ids = [int(x) for x in open(args.users_file).read().split()]
+        idx = data.user_index(np.asarray(raw_ids))
+        valid = idx >= 0
+        scores, items = batch_recommend_users(params, idx[valid].astype(np.int64),
+                                              top_k=args.top_k)
+        scores, items = np.asarray(scores), np.asarray(items)
+        out_path = args.out or "recommendations.csv"
+        with open(out_path, "w") as f:
+            f.write("userId,rank,movieId,title,score\n")
+            r = 0
+            for j, uid in enumerate(np.asarray(raw_ids)[valid]):
+                for rank in range(args.top_k):
+                    raw_m = int(data.raw_movie_id(int(items[r][rank])))
+                    title = str(data.title_of(raw_m)).replace(",", ";")
+                    f.write(f"{uid},{rank + 1},{raw_m},{title},{scores[r][rank]:.4f}\n")
+                r += 1
+        skipped = int((~valid).sum())
+        print(f"wrote {out_path}: {int(valid.sum())} users, top-{args.top_k}"
+              + (f" ({skipped} unknown ids skipped)" if skipped else ""))
+        return 0
+
     if args.movie_id is not None:
         out = recommend_from_movie(params, args.movie_id, data, top_k=args.top_k)
         if "error" in out:
@@ -241,6 +268,9 @@ def main(argv=None) -> int:
     pr.add_argument("--propagated", action="store_true",
                     help="score with K-layer propagated embeddings instead of "
                          "the reference's layer-0 tables")
+    pr.add_argument("--users-file", default=None,
+                    help="batch mode: file with one raw userId per line")
+    pr.add_argument("--out", default=None, help="batch mode output CSV path")
     sub.add_parser("eda", help="dataset statistics report")
 
     args = ap.parse_args(argv)

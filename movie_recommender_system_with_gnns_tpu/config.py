@@ -76,6 +76,11 @@ class TrainConfig:
     seed: int = 0
     num_clusters: int = 100           # dataset_handler.py:256
     use_clusters: bool = True
+    # "greedy" = degree-balanced + label-propagation node partition (METIS
+    # analog, keeps ~46% intra-cluster edges at 100 parts on ml-25m-like data);
+    # "random_edges" = uniform edge partition (keeps 100% of edges across the
+    # epoch at the cost of subgraph locality)
+    partitioner: str = "greedy"
     # "compact" propagates each cluster in its local node space (fast,
     # provably equivalent — training/compact.py); "full" keeps the reference's
     # full-node-space propagation (training/train.py)

@@ -20,7 +20,7 @@ import numpy as np
 from ..config import Config
 from ..data.graph import COOGraph
 from ..data.movielens import MovieLensData, make_synthetic_movielens, split_edges
-from ..data.partition import partition_bipartite_greedy
+from ..data.partition import partition_bipartite_greedy, partition_edges_random
 from ..ops.sampling import triplets_from_edges
 from ..ops.spmm import DeviceCOO
 from .train import ClusterBatch, build_eval_batch
@@ -99,10 +99,14 @@ def prepare_training_data(
     num_nodes = data.num_users + data.num_items
 
     if cfg.train.use_clusters and cfg.train.num_clusters > 1:
-        parts = partition_bipartite_greedy(
-            train_e, data.num_users, num_nodes, cfg.train.num_clusters,
-            seed=cfg.data.split_seed,
-        )
+        if cfg.train.partitioner == "random_edges":
+            parts = partition_edges_random(
+                train_e, data.num_users, cfg.train.num_clusters,
+                seed=cfg.data.split_seed)
+        else:
+            parts = partition_bipartite_greedy(
+                train_e, data.num_users, num_nodes, cfg.train.num_clusters,
+                seed=cfg.data.split_seed)
     else:
         parts = [train_e]
 

@@ -62,3 +62,17 @@ def test_cli_eda(workdir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "unique users" in out
+
+
+def test_cli_batch_recommend(workdir, capsys):
+    main(_common(workdir, "train"))
+    capsys.readouterr()
+    (workdir / "users.txt").write_text("1\n2\n999999\n3\n")
+    rc = main(_common(workdir, "recommend", "--users-file", str(workdir / "users.txt"),
+                      "--top-k", "4", "--out", str(workdir / "recs.csv")))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3 users" in out and "1 unknown ids skipped" in out
+    lines = (workdir / "recs.csv").read_text().strip().splitlines()
+    assert lines[0] == "userId,rank,movieId,title,score"
+    assert len(lines) == 1 + 3 * 4
