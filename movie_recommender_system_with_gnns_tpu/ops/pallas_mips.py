@@ -27,15 +27,21 @@ NEG_INF = -1e30
 BIG_IDX = 2**30
 
 
-def _mips_block_kernel(n_ref, q_ref, c_ref, os_ref, oi_ref, *, k: int):
+def _mips_block_kernel(n_ref, q_ref, c_ref, *rest, k: int, has_mask: bool):
     """One catalog block: scores on the MXU, top-k extraction on the VPU.
 
     n_ref:  (1, 1) int32 in SMEM — true catalog size (masks padding)
     q_ref:  (Q, d) queries (VMEM)
     c_ref:  (B, d) catalog block (VMEM)
+    [mask_ref: (Q, B) int8 — 1 = excluded (train-seen filtering)]
     os_ref: (1, Q, k) block top-k scores
     oi_ref: (1, Q, k) block top-k GLOBAL indices
     """
+    if has_mask:
+        mask_ref, os_ref, oi_ref = rest
+    else:
+        os_ref, oi_ref = rest
+        mask_ref = None
     j = pl.program_id(0)
     q = q_ref[:]
     c = c_ref[:]
@@ -47,6 +53,8 @@ def _mips_block_kernel(n_ref, q_ref, c_ref, os_ref, oi_ref, *, k: int):
     )                                                     # (Q, B)
     col = jax.lax.broadcasted_iota(jnp.int32, (nq, b), 1) + j * b
     s = jnp.where(col < n_ref[0, 0], s, NEG_INF)
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[:] != 0, NEG_INF, s)
     for t in range(k):                                    # static unroll
         m = jnp.max(s, axis=1)                            # (Q,)
         is_max = s == m[:, None]
@@ -63,6 +71,7 @@ def mips_topk_pallas(
     k: int = 10,
     block: int = 8192,
     normalize: bool = True,
+    exclude_mask=None,     # (Q, N) bool — True = exclude (train-seen filter)
 ):
     """Fused-kernel MIPS top-k; returns (scores (Q, k), indices (Q, k))."""
     q = normalize_embedding(query) if normalize else query
@@ -73,20 +82,33 @@ def mips_topk_pallas(
     if pad:
         c = jnp.concatenate([c, jnp.zeros((pad, d), c.dtype)], axis=0)
     nb = (n + pad) // block
+    has_mask = exclude_mask is not None
 
-    kern = functools.partial(_mips_block_kernel, k=k)
+    in_specs = [
+        pl.BlockSpec((nq, d), lambda j, n_ref: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, d), lambda j, n_ref: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(n, jnp.int32).reshape(1, 1), q.astype(jnp.float32),
+            c.astype(jnp.float32)]
+    if has_mask:
+        m8 = exclude_mask.astype(jnp.int8)
+        if pad:
+            m8 = jnp.concatenate(
+                [m8, jnp.zeros((nq, pad), jnp.int8)], axis=1)
+        in_specs.append(pl.BlockSpec((nq, block), lambda j, n_ref: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(m8)
+
+    kern = functools.partial(_mips_block_kernel, k=k, has_mask=has_mask)
     os_, oi_ = pl.pallas_call(
         kern,
         interpret=(jax.default_backend() == "cpu"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((nq, d), lambda j, n_ref: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, d), lambda j, n_ref: (j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, nq, k), lambda j, n_ref: (j, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -103,6 +125,5 @@ def mips_topk_pallas(
             bytes_accessed=(n + pad) * d * 4 + nq * d * 4 + nb * nq * k * 8,
             transcendentals=0,
         ),
-    )(jnp.asarray(n, jnp.int32).reshape(1, 1), q.astype(jnp.float32),
-      c.astype(jnp.float32))
+    )(*args)
     return merge_topk(os_, oi_, k)

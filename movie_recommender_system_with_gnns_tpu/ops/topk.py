@@ -60,13 +60,10 @@ def mips_topk(
     c = normalize_embedding(catalog) if normalize else catalog
     nq_, n_ = q.shape[0], c.shape[0]
     if method == "pallas":
-        if exclude_mask is not None:
-            raise ValueError("pallas MIPS path has no exclusion support — "
-                             "use method='flat'")
         from .pallas_mips import mips_topk_pallas
 
         return mips_topk_pallas(query, catalog, k=k, block=block,
-                                normalize=normalize)
+                                normalize=normalize, exclude_mask=exclude_mask)
     if method == "auto":
         method = "flat" if nq_ * n_ * 4 <= max_flat_bytes else "blocked"
     if method == "flat":

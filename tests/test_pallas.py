@@ -72,3 +72,24 @@ def test_pallas_mips_padding_masked(rng):
     c = rng.standard_normal((130, 8)).astype(np.float32)
     s, i = mips_topk_pallas(jnp.asarray(q), jnp.asarray(c), k=5, block=64)
     assert np.all(np.asarray(i) < 130)
+
+
+def test_pallas_mips_exclusion(rng):
+    from movie_recommender_system_with_gnns_tpu.ops.pallas_mips import mips_topk_pallas
+    from movie_recommender_system_with_gnns_tpu.ops.topk import full_sort_scores
+
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    c = rng.standard_normal((300, 8)).astype(np.float32)
+    ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
+    banned = ref.argmax(axis=1)
+    mask = np.zeros((4, 300), bool)
+    mask[np.arange(4), banned] = True
+    s, i = mips_topk_pallas(jnp.asarray(q), jnp.asarray(c), k=5, block=64,
+                            exclude_mask=jnp.asarray(mask))
+    i = np.asarray(i)
+    for r in range(4):
+        assert banned[r] not in i[r]
+        # best unbanned item must win
+        exp = np.argsort(-ref[r])
+        exp = exp[exp != banned[r]][0]
+        assert i[r][0] == exp
