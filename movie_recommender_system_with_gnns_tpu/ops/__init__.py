@@ -5,6 +5,7 @@ from .sampling import (
     sample_negative, sample_negative_feasible, triplets_from_edges,
 )
 from .spmm import DeviceCOO, DeviceELL, make_spmm_chunked, spmm_ell, spmm_segment
+from .pallas_mips import mips_topk_pallas
 from .topk import full_sort_scores, merge_topk, mips_topk
 
 __all__ = [
@@ -14,5 +15,5 @@ __all__ = [
     "sample_negative_feasible", "cantor_hash_pair", "get_user_items",
     "is_in_feasible",
     "DeviceCOO", "DeviceELL", "spmm_segment", "spmm_ell", "make_spmm_chunked",
-    "mips_topk", "merge_topk", "full_sort_scores",
+    "mips_topk", "mips_topk_pallas", "merge_topk", "full_sort_scores",
 ]
