@@ -203,7 +203,7 @@ def bench_serving(data, scale, batch=256, iters=20):
     @jax.jit
     def serve(q):
         # fused Pallas MIPS kernel: fastest exact path (ops/pallas_mips.py)
-        return mips_topk_pallas(q, params.item_emb, k=10, block=8192)
+        return mips_topk_pallas(q, params.item_emb, k=10, block=4096)
 
     q = params.user_emb[:batch]
     s, i = serve(q)

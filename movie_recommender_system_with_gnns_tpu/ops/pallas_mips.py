@@ -7,8 +7,8 @@ iterative max-and-mask on the VPU (Mosaic has no top_k lowering — verified),
 and only writes (num_blocks, Q, k) candidates; a tiny XLA merge finishes.
 HBM traffic drops from ~3·Q·N·4 bytes to N·d + num_blocks·Q·k·8.
 
-Exclusion masks route to the flat path (ops/topk.py handles them); this kernel
-is the throughput path for unfiltered batched retrieval.
+Exclusion masks (train-seen filtering) stream per block as an int8 tile; the
+kernel is the throughput path for batched retrieval with or without filters.
 """
 
 from __future__ import annotations
@@ -69,11 +69,16 @@ def mips_topk_pallas(
     query: jax.Array,      # (Q, d)
     catalog: jax.Array,    # (N, d)
     k: int = 10,
-    block: int = 8192,
+    block: int = 4096,
     normalize: bool = True,
     exclude_mask=None,     # (Q, N) bool — True = exclude (train-seen filter)
 ):
-    """Fused-kernel MIPS top-k; returns (scores (Q, k), indices (Q, k))."""
+    """Fused-kernel MIPS top-k; returns (scores (Q, k), indices (Q, k)).
+
+    block=8192 with Q=256 puts the (Q, B) score + iota tiles at the 16 MB VMEM
+    edge (observed scoped-vmem OOM); 4096 measures the same ~1.4 ms/batch with
+    comfortable headroom.
+    """
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
     n, d = c.shape

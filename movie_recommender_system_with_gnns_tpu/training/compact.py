@@ -194,11 +194,14 @@ def _propagate_local(emb, src, dst, w, adj, num_layers, n_local):
     cur = emb
     for _ in range(num_layers):
         if adj is not None:
+            # feed the MXU its native mix: low-precision operands (adj is
+            # stored bf16), f32 accumulation — and never materialize an f32
+            # copy of the 29 MB adjacency block
             cur = jax.lax.dot_general(
-                adj.astype(emb.dtype), cur,
+                adj, cur.astype(adj.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=emb.dtype,
-            )
+                preferred_element_type=jnp.float32,
+            ).astype(emb.dtype)
         else:
             msg = cur[src] * w[:, None].astype(emb.dtype)
             cur = jax.ops.segment_sum(msg, dst, num_segments=n_local,
