@@ -112,3 +112,16 @@ def test_spmm_chunked_gradients(tiny_graph, rng):
     g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
     g_chk = np.asarray(jax.grad(f_chk)(jnp.asarray(x)))
     np.testing.assert_allclose(g_chk, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_partition_edges_random_keeps_everything(tiny_data):
+    from movie_recommender_system_with_gnns_tpu.data.partition import (
+        edge_retention, partition_edges_random,
+    )
+
+    e = tiny_data.edge_index
+    parts = partition_edges_random(e, tiny_data.num_users, 5)
+    assert len(parts) == 5
+    assert edge_retention(parts, e.shape[1]) == 1.0
+    sizes = np.array([p.shape[1] for p in parts])
+    assert sizes.max() < 2 * sizes.mean()
