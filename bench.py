@@ -262,7 +262,7 @@ def main():
 
     serving_qps = bench_serving(data, scale)
     sys.stderr.write(f"[bench] serving: {serving_qps:.0f} queries/s "
-                     f"(batch-256 top-10 over {data.num_items} items)\n")
+                     f"(batch-1024 top-10 over {data.num_items} items)\n")
 
     edges = data.edge_index.shape[1]
     result = {
