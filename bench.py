@@ -89,7 +89,10 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
         StackedClusters, create_train_state, make_epoch_fn,
     )
 
-    cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]))
+    # fused_bpr: the Pallas fused loss+grad kernel (ops/pallas_bpr.py) — the
+    # framework's fast path; converges identically (tests/test_pallas_bpr.py)
+    cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]),
+                 train=TrainConfig(fused_bpr=(trainer == "compact")))
     n = data.num_users + data.num_items
     t0 = time.time()
     if trainer == "compact":

@@ -95,6 +95,11 @@ class TrainConfig:
     # (E, d) gather memory (1 = unchunked)
     batch_size: Optional[int] = None
     spmm_chunks: int = 1
+    # fuse the BPR loss + gradients into one Pallas kernel (ops/pallas_bpr.py):
+    # one-hot MXU gathers over VMEM-resident cluster tables replace ~10
+    # row-granular XLA gather/scatter ops per step. Gathered values round to
+    # bfloat16 (MXU operand precision); reference loss only.
+    fused_bpr: bool = False
     # densify each compact cluster's adjacency into an MXU-matmul block when
     # the local node count allows (training/compact.py::densify_adjacency)
     dense_adjacency: bool = True

@@ -259,6 +259,19 @@ def compact_cluster_loss(
     final = acc.astype(jnp.float32) * scale
     fu, fi = final[:u_pad], final[u_pad:]
 
+    if cfg.train.fused_bpr and cfg.train.loss == "reference":
+        # single fused Pallas pass: loss + all embedding gradients
+        # (ops/pallas_bpr.py); the only XLA row ops left are the global
+        # negative-row gather/scatter and the cluster-row table updates
+        from ..ops.pallas_bpr import fused_bpr_loss
+
+        ni = params.item_emb[neg]
+        loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
+        in_cluster = item_ids[loc] == neg
+        return fused_bpr_loss(fu, u_rows, fi, i_rows, ni, user_local,
+                              pos_local, loc, in_cluster, mask,
+                              scale=scale, bpr_coeff=cfg.train.bpr_coeff)
+
     # gather (final ‖ initial) in ONE row op per index set: TPU gather/scatter
     # cost is per-ROW (~24ns/row measured, independent of width up to 128
     # lanes), so fusing the two same-index gathers halves the dominant cost of
