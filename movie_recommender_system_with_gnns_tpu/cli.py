@@ -33,7 +33,12 @@ def _build_cfg(args) -> Config:
     )
     model = ModelConfig(num_layers=args.layers, dim=args.dim, readout=args.readout)
     train = TrainConfig(epochs=args.epochs, lr=args.lr, num_clusters=args.clusters,
-                        checkpoint_path=args.checkpoint)
+                        checkpoint_path=args.checkpoint,
+                        loss=getattr(args, "loss", "reference"),
+                        optimizer=getattr(args, "optimizer", "adam"),
+                        partitioner=getattr(args, "partitioner", "greedy"),
+                        trainer=getattr(args, "trainer", "compact"),
+                        fused_bpr=getattr(args, "fused_bpr", False))
     return Config(data=data, model=model, train=train)
 
 
@@ -255,6 +260,14 @@ def main(argv=None) -> int:
     pt.add_argument("--mesh", default=None,
                     help="mesh-sharded training: DPxMP devices, e.g. 2x4 "
                          "(full-graph regime, row-sharded tables)")
+    pt.add_argument("--loss", default="reference", choices=["reference", "standard"],
+                    help="reference-quirk cosine-softplus BPR vs textbook BPR")
+    pt.add_argument("--optimizer", default="adam", choices=["adam", "lazy_adam"])
+    pt.add_argument("--partitioner", default="greedy",
+                    choices=["greedy", "random_edges"])
+    pt.add_argument("--trainer", default="compact", choices=["compact", "full"])
+    pt.add_argument("--fused-bpr", action="store_true",
+                    help="fused Pallas BPR loss+grad kernel (ops/pallas_bpr.py)")
     pt.add_argument("--full-eval", action="store_true",
                     help="post-training full-ranking Recall@k/NDCG@k on test")
     pt.add_argument("--full-eval-k", type=int, default=10)
