@@ -57,9 +57,13 @@ def build_problem(scale: dict, seed: int = 0):
                                     scale["interactions"], seed=seed,
                                     num_communities=scale.get("communities", 0),
                                     power=scale.get("power", 1.1))
+    # balance_tol=1.1 caps every cluster's kept-edge count at 1.1x the mean
+    # (native gc_partition_balance): the largest cluster sets the padded
+    # triplet width of every train step. Quality-neutral at 30 epochs
+    # (recall@10 0.0775 vs 0.0752 unbalanced, propagated serving).
     parts = partition_bipartite_greedy(
         data.edge_index, data.num_users, data.num_users + data.num_items,
-        scale["clusters"], seed=seed,
+        scale["clusters"], seed=seed, balance_tol=1.1,
     )
     parts = [p for p in parts if p.shape[1] > 0]
     kept = sum(p.shape[1] for p in parts)

@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--eval-propagated", action="store_true")
     ap.add_argument("--partitioner", default="greedy",
                     choices=["greedy", "random_edges"])
+    ap.add_argument("--fused-bpr", action="store_true",
+                    help="fused Pallas BPR kernel (reference loss only)")
+    ap.add_argument("--balance-tol", type=float, default=0.0,
+                    help="kept-edge balance cap (tol x mean; 0 = off)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -59,7 +63,8 @@ def main():
                         indexes_dir=os.path.join(args.out, "indexes")),
         model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
-                          partitioner=args.partitioner,
+                          partitioner=args.partitioner, fused_bpr=args.fused_bpr,
+                          partition_balance_tol=args.balance_tol,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),
     )

@@ -81,6 +81,11 @@ class TrainConfig:
     # "random_edges" = uniform edge partition (keeps 100% of edges across the
     # epoch at the cost of subgraph locality)
     partitioner: str = "greedy"
+    # >0 adds a kept-edge balance pass to the greedy partitioner capping every
+    # cluster's intra-edge count at tol× the mean (native gc_partition_balance;
+    # the LARGEST cluster sets the padded triplet width of every train step,
+    # so e.g. 1.1 trades a few % edge retention for ~25% faster epochs)
+    partition_balance_tol: float = 0.0
     # "compact" propagates each cluster in its local node space (fast,
     # provably equivalent — training/compact.py); "full" keeps the reference's
     # full-node-space propagation (training/train.py)

@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int32, ctypes.c_int32,
                                         ctypes.c_double, i32p, i32p]
+    lib.gc_partition_balance.restype = ctypes.c_int64
+    lib.gc_partition_balance.argtypes = [i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int32,
+                                         ctypes.c_double, i32p, i32p]
     lib.gc_to_undirected.restype = ctypes.c_int64
     lib.gc_to_undirected.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64,
                                      i32p, i32p]
@@ -94,12 +98,16 @@ def build_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int
 
 def partition_greedy(u: np.ndarray, it: np.ndarray, num_users: int,
                      num_items: int, num_parts: int, seed: int = 0,
-                     refine_rounds: int = 4, slack: float = 1.15
+                     refine_rounds: int = 4, slack: float = 1.15,
+                     balance_tol: float = 0.0
                      ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Node partition assignment (users, items) + kept-half-edge count.
 
     Greedy degree-balanced init + ``refine_rounds`` of capacity-constrained
-    label propagation (the METIS-quality step; gc_partition_refine)."""
+    label propagation (the METIS-quality step; gc_partition_refine). With
+    ``balance_tol`` > 0 a final kept-edge balance pass caps every part's
+    intra-cluster edge count at tol× the mean (gc_partition_balance) — that
+    count sets the padded triplet width of every train step."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native graphcore not built — run `make -C native`")
@@ -113,6 +121,9 @@ def partition_greedy(u: np.ndarray, it: np.ndarray, num_users: int,
         kept = lib.gc_partition_refine(u32, it32, u.shape[0], num_users,
                                        num_items, num_parts, refine_rounds,
                                        slack, pu, pi)
+    if balance_tol > 0:
+        kept = lib.gc_partition_balance(u32, it32, u.shape[0], num_users,
+                                        num_parts, balance_tol, pu, pi)
     return pu, pi, int(kept)
 
 

@@ -36,6 +36,7 @@ def partition_bipartite_greedy(
     num_nodes: int,
     num_parts: int,
     seed: int = 0,
+    balance_tol: float = 0.0,
 ) -> List[np.ndarray]:
     """Partition nodes, keep intra-cluster edges (Cluster-GCN semantics).
 
@@ -44,6 +45,10 @@ def partition_bipartite_greedy(
     2. each item joins the part holding the plurality of its edges;
     3. edges survive iff part(user) == part(item) — mirrored edges (item→user)
        survive symmetrically, so subgraphs stay undirected.
+
+    ``balance_tol`` > 0 adds a kept-edge balance pass capping every part's
+    intra-cluster edge count at tol× the mean (the per-step padded triplet
+    width is set by the LARGEST part, so balance buys epoch time directly).
     """
     head, tail = edge_index[0], edge_index[1]
     # operate on the user→item half; mirror at the end
@@ -58,7 +63,8 @@ def partition_bipartite_greedy(
         # C++ fast path (native/graphcore.cpp gc_partition_greedy) — same
         # algorithm; kept-edge sets are identical to the NumPy path
         part_of_user, part_of_item, _ = native.partition_greedy(
-            u, it, num_users, num_items, num_parts, seed)
+            u, it, num_users, num_items, num_parts, seed,
+            balance_tol=balance_tol)
         ep = part_of_user[u]
         keep = ep == part_of_item[it]
         u_k, it_k, p_k = u[keep], it[keep], ep[keep]
@@ -88,6 +94,11 @@ def partition_bipartite_greedy(
     empty = counts.sum(axis=1) == 0
     part_of_item[empty] = rng.integers(0, num_parts, empty.sum())
 
+    if balance_tol > 0:
+        part_of_user = _balance_kept_edges_numpy(
+            u, it, part_of_user, part_of_item, num_parts, balance_tol)
+        ep = part_of_user[u]
+
     keep = ep == part_of_item[it]
     u_k, it_k, p_k = u[keep], it[keep], ep[keep]
     out: List[np.ndarray] = []
@@ -98,6 +109,71 @@ def partition_bipartite_greedy(
         e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
         out.append(e)
     return out
+
+
+def _balance_kept_edges_numpy(u, it, part_of_user, part_of_item, num_parts,
+                              tol):
+    """NumPy fallback of native gc_partition_balance: cap each part's kept-edge
+    count at tol× the mean by moving least-loyal users to their best-affinity
+    part with room."""
+    num_users = part_of_user.shape[0]
+    counts = np.zeros((num_users, num_parts), np.int32)
+    np.add.at(counts, (u, part_of_item[it]), 1)
+    part_of_user = part_of_user.copy()
+    kept = np.zeros(num_parts, np.int64)
+    own = counts[np.arange(num_users), part_of_user]
+    np.add.at(kept, part_of_user, own)
+    target = int(tol * kept.sum() / num_parts) + 1
+
+    # caps on kept-user/kept-item counts per part (they set u_pad/i_pad — the
+    # compact trainer's padded node widths; see native gc_partition_balance)
+    num_items = int(it.max()) + 1 if it.size else 0
+    kept_edge = part_of_user[u] == part_of_item[it]
+    kedge_item = np.bincount(it[kept_edge], minlength=num_items)
+    kuser = np.bincount(part_of_user[own > 0], minlength=num_parts).astype(np.int64)
+    kitem = np.bincount(part_of_item[kedge_item > 0], minlength=num_parts).astype(np.int64)
+    kumax, kimax = int(kuser.max()), int(kitem.max())
+    order_u = np.argsort(u, kind="stable")
+    uptr = np.searchsorted(u[order_u], np.arange(num_users + 1))
+    uadj = it[order_u]
+
+    for p in np.argsort(-kept):
+        if kept[p] <= target:
+            break
+        vs = np.where(part_of_user == p)[0]
+        vs = vs[np.argsort(counts[vs, p], kind="stable")]
+        for v in vs:
+            if kept[p] <= target:
+                break
+            row = counts[v].copy()
+            row[p] = -1
+            room = (kept + row <= target) & ((row == 0) | (kuser + 1 <= kumax))
+            room[p] = False
+            if not room.any():
+                continue
+            q = int(np.where(room, row, -1).argmax())
+            if row[q] < 0:
+                continue
+            items_v = uadj[uptr[v]:uptr[v + 1]]
+            if row[q] > 0:
+                in_q = items_v[part_of_item[items_v] == q]
+                fresh = int((kedge_item[in_q] == 0).sum())
+                if kitem[q] + fresh > kimax:
+                    continue
+            in_p = items_v[part_of_item[items_v] == p]
+            in_q = items_v[part_of_item[items_v] == q]
+            kedge_item[in_p] -= 1
+            kitem[p] -= int((kedge_item[in_p] == 0).sum())
+            kitem[q] += int((kedge_item[in_q] == 0).sum())
+            kedge_item[in_q] += 1
+            kept[p] -= counts[v, p]
+            kept[q] += counts[v, q]
+            if counts[v, p] > 0:
+                kuser[p] -= 1
+            if counts[v, q] > 0:
+                kuser[q] += 1
+            part_of_user[v] = q
+    return part_of_user
 
 
 def partition_edges_random(

@@ -39,24 +39,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # triplet rows per grid step (1-D int32 operands need 1024-multiples)
+TILE = 1024          # default triplet rows per grid step
+VMEM_BUDGET = 13 * 2**20  # leave headroom under the 16 MB scoped-vmem limit
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_tile(u_pad: int, i_pad: int, d: int) -> int:
+    """Largest tile whose VMEM footprint fits: resident tables + grad
+    accumulators are fixed; the three one-hot tiles scale with the tile size
+    (bf16, kept live through the in-kernel backward)."""
+    fixed = (u_pad + i_pad) * 2 * d * 4 * 2      # [prop‖init] tables + grads
+    for tb in (1024, 512, 256, 128):
+        # 1.25: Mosaic reuses the one-hot tiles in the VJP but keeps partial
+        # copies live (factor fitted to observed scoped-vmem usage)
+        onehot = int(tb * (u_pad + 2 * i_pad) * 2 * 1.25)
+        stream = tb * d * 4 * 4                      # ni in, gni out, u/p cats
+        if fixed + onehot + stream <= VMEM_BUDGET:
+            return tb
+    return 128
+
+
 def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
                      utab_ref, itab_ref, ni_ref,
-                     loss_ref, gu_ref, gi_ref, gni_ref, *, d: int, scale: float):
+                     loss_ref, gu_ref, gi_ref, gni_ref,
+                     *, d: int, scale: float, tb: int):
     """One triplet tile: 3 one-hot MXU gathers + loss + VJP, all in VMEM.
 
+    The tile width ``tb`` is chosen by _pick_tile so the one-hot tiles fit
+    VMEM. Index/flag arrays arrive as (N, 1, tb) so every tile choice passes
+    Mosaic's int32 layout rules (block (1, 1, tb) == trailing array dims).
+
     s_ref:    (1, 2) f32 SMEM — [w1, w2] = [−1/(10·count), coeff/(count·d)]
-    ul/pl/loc:(TB,) int32 — user/pos/neg-membership local indices
-    inc/m:    (TB,) int32 — in-cluster flag / validity mask
+    ul/pl/loc:(1, 1, tb) int32 — user/pos/neg-membership local indices
+    inc/m:    (1, 1, tb) int32 — in-cluster flag / validity mask
     utab_ref: (u_pad, 2d) f32 — [propagated ‖ initial] user rows (grid-constant)
     itab_ref: (i_pad, 2d) f32 — [propagated ‖ initial] item rows (grid-constant)
-    ni_ref:   (TB, d) f32 — negatives' initial rows (streamed per tile)
+    ni_ref:   (tb, d) f32 — negatives' initial rows (streamed per tile)
     loss/gu/gi: accumulators (revisited every grid step); gni: per-tile block
     """
     t = pl.program_id(0)
@@ -69,17 +90,16 @@ def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
 
     w1 = s_ref[0, 0]
     w2 = s_ref[0, 1]
-    ul = ul_ref[:]
-    pl_i = pl_ref[:]
-    lc = loc_ref[:]
+    ul = ul_ref[0, 0, :]
+    pl_i = pl_ref[0, 0, :]
+    lc = loc_ref[0, 0, :]
     # Mosaic only reshapes 32-bit types into a new minor dim: lift the int32
     # flags to (TB, 1) f32 and blend arithmetically instead of jnp.where.
     # Scalar reductions also stay 2-D throughout (Mosaic has no 1-D→scalar
     # multi_reduction): per-row sums keep dims and the final masked sum is a
     # (1,TB)×(TB,1) MXU dot.
-    incf = inc_ref[:][:, None].astype(jnp.float32)
-    m2 = m_ref[:][:, None].astype(jnp.float32)          # (TB, 1)
-    tb = ul.shape[0]
+    incf = inc_ref[0, 0, :][:, None].astype(jnp.float32)
+    m2 = m_ref[0, 0, :][:, None].astype(jnp.float32)          # (TB, 1)
     u_pad = utab_ref.shape[0]
     i_pad = itab_ref.shape[0]
 
@@ -126,9 +146,12 @@ def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
 
 
 def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale):
-    """Pad to TILE, launch, unpad. Returns (loss, g_u_tab, g_i_tab, g_ni)."""
+    """Pad to the tile width, launch, unpad. Returns (loss, g_u_tab, g_i_tab, g_ni)."""
     b = ul.shape[0]
-    bp = _round_up(b, TILE)
+    u_pad, two_d = u_tab.shape
+    i_pad = i_tab.shape[0]
+    tb = _pick_tile(u_pad, i_pad, d)
+    bp = _round_up(b, tb)
     if bp != b:
         pad = bp - b
         ul = jnp.concatenate([ul, jnp.zeros((pad,), jnp.int32)])
@@ -138,33 +161,33 @@ def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale):
         m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
         # repeat a real row: padded rows are masked but must not produce NaNs
         ni = jnp.concatenate([ni, jnp.broadcast_to(ni[:1], (pad, d))])
-    nb = bp // TILE
-    u_pad, two_d = u_tab.shape
-    i_pad = i_tab.shape[0]
+    nb = bp // tb
+    as3d = lambda x: x.reshape(nb, 1, tb)
 
-    kern = functools.partial(_bpr_tile_kernel, d=d, scale=scale)
+    kern = functools.partial(_bpr_tile_kernel, d=d, scale=scale, tb=tb)
     const = lambda j: (0, 0)
-    tile1 = lambda j: (j,)
+    ints = lambda j: (j, 0, 0)
+    rows = lambda j: (j, 0)
     loss, gu, gi, gni = pl.pallas_call(
         kern,
         interpret=(jax.default_backend() == "cpu"),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE,), tile1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), tile1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), tile1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), tile1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), tile1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), ints, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), ints, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), ints, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), ints, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), ints, memory_space=pltpu.VMEM),
             pl.BlockSpec((u_pad, two_d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((i_pad, two_d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), rows, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((u_pad, two_d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((i_pad, two_d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), rows, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -177,7 +200,7 @@ def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale):
             bytes_accessed=bp * d * 8 + (u_pad + i_pad) * two_d * 8,
             transcendentals=2 * bp,
         ),
-    )(w, ul, pl_i, loc, inc, m, u_tab, i_tab, ni)
+    )(w, as3d(ul), as3d(pl_i), as3d(loc), as3d(inc), as3d(m), u_tab, i_tab, ni)
     return loss[0, 0], gu, gi, gni[:b]
 
 

@@ -106,7 +106,8 @@ def prepare_training_data(
         else:
             parts = partition_bipartite_greedy(
                 train_e, data.num_users, num_nodes, cfg.train.num_clusters,
-                seed=cfg.data.split_seed)
+                seed=cfg.data.split_seed,
+                balance_tol=cfg.train.partition_balance_tol)
     else:
         parts = [train_e]
 

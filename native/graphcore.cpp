@@ -162,6 +162,124 @@ int64_t gc_partition_refine(const int32_t* u, const int32_t* it, int64_t e,
   return kept;
 }
 
+// Kept-edge balance pass: cap every part's intra-cluster (kept) edge count at
+// ``tol``× the mean by moving the least-loyal users out of overloaded parts.
+// METIS balances node/edge mass; for Cluster-GCN training cost what matters is
+// the KEPT edge count per part (it sets the padded triplet batch width every
+// step), which plurality item assignment leaves heavily skewed on
+// community-structured graphs. Items stay fixed; each moved user lands on its
+// best-affinity part that stays under the cap (edges follow: kept loss =
+// c_src(v) − c_dst(v)). Returns kept half-edges after balancing.
+int64_t gc_partition_balance(const int32_t* u, const int32_t* it, int64_t e,
+                             int64_t num_users, int32_t num_parts, double tol,
+                             int32_t* part_user, const int32_t* part_item) {
+  // c[v][q] = # edges of user v to items in part q
+  std::vector<int32_t> counts(num_users * num_parts, 0);
+  std::vector<int64_t> kept(num_parts, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    int32_t q = part_item[it[i]];
+    counts[static_cast<int64_t>(u[i]) * num_parts + q]++;
+    if (part_user[u[i]] == q) kept[part_user[u[i]]]++;
+  }
+  int64_t total = 0;
+  for (int32_t p = 0; p < num_parts; ++p) total += kept[p];
+  int64_t target = static_cast<int64_t>(tol * static_cast<double>(total) / num_parts) + 1;
+
+  // Caps on each part's KEPT-user and KEPT-item counts: those set the compact
+  // trainer's padded node width (u_pad/i_pad = the LARGEST cluster's unique
+  // users/items among kept edges), which in turn sets dense-Â block size and
+  // the fused-BPR kernel's VMEM footprint. Without them, moves pile
+  // low-kept-degree users into underloaded parts and inflate the pads.
+  int64_t num_items = 0;
+  for (int64_t i = 0; i < e; ++i) num_items = std::max<int64_t>(num_items, it[i] + 1);
+  std::vector<int32_t> kedge_item(num_items, 0);   // item's kept-edge count
+  for (int64_t i = 0; i < e; ++i)
+    if (part_user[u[i]] == part_item[it[i]]) kedge_item[it[i]]++;
+  std::vector<int64_t> kuser(num_parts, 0), kitem(num_parts, 0);
+  for (int64_t v = 0; v < num_users; ++v)
+    if (counts[v * num_parts + part_user[v]] > 0) kuser[part_user[v]]++;
+  for (int64_t j = 0; j < num_items; ++j)
+    if (kedge_item[j] > 0) kitem[part_item[j]]++;
+  int64_t kumax = 0, kimax = 0;
+  for (int32_t p = 0; p < num_parts; ++p) {
+    kumax = std::max(kumax, kuser[p]);
+    kimax = std::max(kimax, kitem[p]);
+  }
+  // per-user edge CSR (counting sort by user) for incremental item updates
+  std::vector<int64_t> uptr(num_users + 1, 0);
+  for (int64_t i = 0; i < e; ++i) uptr[u[i] + 1]++;
+  for (int64_t v = 0; v < num_users; ++v) uptr[v + 1] += uptr[v];
+  std::vector<int32_t> uadj(e);
+  {
+    std::vector<int64_t> cur(uptr.begin(), uptr.end() - 1);
+    for (int64_t i = 0; i < e; ++i) uadj[cur[u[i]]++] = it[i];
+  }
+
+  // per-part user lists
+  std::vector<std::vector<int32_t>> members(num_parts);
+  for (int64_t v = 0; v < num_users; ++v)
+    members[part_user[v]].push_back(static_cast<int32_t>(v));
+
+  // overloaded parts, worst first
+  std::vector<int32_t> over;
+  for (int32_t p = 0; p < num_parts; ++p)
+    if (kept[p] > target) over.push_back(p);
+  std::sort(over.begin(), over.end(),
+            [&](int32_t a, int32_t b) { return kept[a] > kept[b]; });
+
+  for (int32_t p : over) {
+    // order this part's users by in-part edge count ascending: moving a
+    // low-count user out sheds few kept edges per move but costs the least
+    // retention; we take them cheapest-first until under target
+    auto& vs = members[p];
+    std::stable_sort(vs.begin(), vs.end(), [&](int32_t a, int32_t b) {
+      return counts[static_cast<int64_t>(a) * num_parts + p] <
+             counts[static_cast<int64_t>(b) * num_parts + p];
+    });
+    for (int32_t v : vs) {
+      if (kept[p] <= target) break;
+      const int32_t* row = &counts[static_cast<int64_t>(v) * num_parts];
+      // best destination with room (affinity desc), honoring the pad caps
+      int32_t best = -1;
+      int32_t best_c = -1;
+      for (int32_t q = 0; q < num_parts; ++q) {
+        if (q == p) continue;
+        if (kept[q] + row[q] > target) continue;
+        if (row[q] > 0 && kuser[q] + 1 > kumax) continue;
+        if (row[q] > best_c) { best_c = row[q]; best = q; }
+      }
+      if (best < 0) continue;
+      // newly covered items in the destination must not exceed its item cap
+      if (row[best] > 0) {
+        int64_t fresh = 0;
+        for (int64_t i = uptr[v]; i < uptr[v + 1]; ++i) {
+          int32_t j = uadj[i];
+          if (part_item[j] == best && kedge_item[j] == 0) fresh++;
+        }
+        if (kitem[best] + fresh > kimax) continue;
+      }
+      // commit the move: kept totals, kept-user counts, kept-item coverage
+      kept[p] -= row[p];
+      kept[best] += row[best];
+      if (row[p] > 0) kuser[p]--;
+      if (row[best] > 0) kuser[best]++;
+      for (int64_t i = uptr[v]; i < uptr[v + 1]; ++i) {
+        int32_t j = uadj[i];
+        if (part_item[j] == p) {
+          if (--kedge_item[j] == 0) kitem[p]--;
+        } else if (part_item[j] == best) {
+          if (kedge_item[j]++ == 0) kitem[best]++;
+        }
+      }
+      part_user[v] = best;
+    }
+  }
+  int64_t kept_total = 0;
+  for (int64_t i = 0; i < e; ++i)
+    if (part_user[u[i]] == part_item[it[i]]) kept_total++;
+  return kept_total;
+}
+
 // Undirected doubling + dedup. Caller provides out buffers of size 2E.
 // Returns deduped edge count.
 int64_t gc_to_undirected(const int32_t* src, const int32_t* dst, int64_t e,

@@ -56,3 +56,47 @@ def test_member_hashes(rng):
     s = u.astype(np.uint64) + it.astype(np.uint64)
     expect = np.unique(s * (s + 1) // 2 + it.astype(np.uint64))
     np.testing.assert_array_equal(h, expect)
+
+
+def test_partition_balance_caps_kept_edges(tiny_data):
+    """gc_partition_balance must cap every part's kept-edge count near
+    tol x mean without collapsing retention (native and NumPy paths agree on
+    the invariants)."""
+    from movie_recommender_system_with_gnns_tpu.data.partition import (
+        partition_bipartite_greedy,
+    )
+
+    e = tiny_data.edge_index
+    nu = tiny_data.num_users
+    n = nu + tiny_data.num_items
+    base = partition_bipartite_greedy(e, nu, n, 4, balance_tol=0.0)
+    bal = partition_bipartite_greedy(e, nu, n, 4, balance_tol=1.1)
+    kept_base = sum(p.shape[1] for p in base)
+    kept_bal = sum(p.shape[1] for p in bal)
+    sizes = np.array([p.shape[1] for p in bal if p.shape[1] > 0])
+    # cap holds up to single-user granularity (a user's whole edge bundle moves)
+    assert sizes.max() <= 1.1 * sizes.mean() + 2 * sizes.max() / max(len(sizes), 1)
+    # retention must not collapse
+    assert kept_bal >= 0.7 * kept_base
+    # every balanced part is still a valid intra-cluster edge set
+    for p in bal:
+        if p.shape[1] == 0:
+            continue
+        assert p.shape[0] == 2
+        heads = p[0]
+        tails = p[1]
+        fwd = heads < nu
+        assert (tails[fwd] >= nu).all()
+
+
+def test_partition_balance_numpy_fallback(tiny_data, monkeypatch):
+    """The NumPy fallback honors the same cap when the native lib is absent."""
+    from movie_recommender_system_with_gnns_tpu.data import partition as P
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    e = tiny_data.edge_index
+    nu = tiny_data.num_users
+    n = nu + tiny_data.num_items
+    bal = P.partition_bipartite_greedy(e, nu, n, 4, balance_tol=1.1)
+    sizes = np.array([p.shape[1] for p in bal if p.shape[1] > 0])
+    assert sizes.max() <= 1.1 * sizes.mean() + 2 * sizes.max() / max(len(sizes), 1)
