@@ -38,6 +38,13 @@ def make_compact_sharded_epoch_fn(cfg: Config, mesh: Mesh):
     single-chip compact epoch fn.
     """
     pd = mesh.shape[DATA_AXIS]
+    if cfg.train.fused_bpr:
+        # pallas_call's out_shape lacks the vma annotations shard_map's
+        # check_vma demands; the data-parallel trainer keeps the XLA loss path
+        # (the fused kernel is a single-chip fast path)
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, fused_bpr=False))
     opt = make_optimizer(cfg)
 
     def superstep(params, opt_state, cluster, ecount, adj, nk):
