@@ -65,7 +65,7 @@ def _pick_tile(u_pad: int, i_pad: int, d: int) -> int:
 def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
                      utab_ref, itab_ref, ni_ref,
                      loss_ref, gu_ref, gi_ref, gni_ref,
-                     *, d: int, scale: float, tb: int):
+                     *, d: int, scale: float, tb: int, loss: str):
     """One triplet tile: 3 one-hot MXU gathers + loss + VJP, all in VMEM.
 
     The tile width ``tb`` is chosen by _pick_tile so the one-hot tiles fit
@@ -126,12 +126,16 @@ def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
         # reg on initial embeddings (masked sum; w2 carries the global mean)
         sq = ui * ui + pi * pi + ni_t * ni_t
         reg_rows = jnp.sum(sq, axis=1, keepdims=True)            # (TB, 1)
-        # cosine of normalized finals
-        nrm = lambda x: x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-        nu_, np_, nn_ = nrm(uf), nrm(pf), nrm(nf)
-        cp = jnp.sum(nu_ * np_, axis=1, keepdims=True)           # (TB, 1)
-        cn = jnp.sum(nu_ * nn_, axis=1, keepdims=True)
-        sp_rows = jax.nn.softplus(10.0 * (cp - cn))              # (TB, 1)
+        if loss == "reference":
+            # cosine of normalized finals, softplus(10Δ) (ops/bpr.py::bpr_loss)
+            nrm = lambda x: x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+            uf, pf, nf = nrm(uf), nrm(pf), nrm(nf)
+            gain = 10.0
+        else:  # "standard": raw-dot softplus(neg − pos) (bpr_loss_standard)
+            gain = -1.0  # sp(gain·(cp−cn)) = sp(cn−cp); w1 flips the sign
+        cp = jnp.sum(uf * pf, axis=1, keepdims=True)             # (TB, 1)
+        cn = jnp.sum(uf * nf, axis=1, keepdims=True)
+        sp_rows = jax.nn.softplus(gain * (cp - cn))              # (TB, 1)
         comb = w1 * sp_rows + w2 * reg_rows                      # (TB, 1)
         l11 = jax.lax.dot_general(m2.T, comb, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -145,7 +149,7 @@ def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
     gni_ref[...] = gni
 
 
-def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale):
+def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale, loss):
     """Pad to the tile width, launch, unpad. Returns (loss, g_u_tab, g_i_tab, g_ni)."""
     b = ul.shape[0]
     u_pad, two_d = u_tab.shape
@@ -164,7 +168,7 @@ def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale):
     nb = bp // tb
     as3d = lambda x: x.reshape(nb, 1, tb)
 
-    kern = functools.partial(_bpr_tile_kernel, d=d, scale=scale, tb=tb)
+    kern = functools.partial(_bpr_tile_kernel, d=d, scale=scale, tb=tb, loss=loss)
     const = lambda j: (0, 0)
     ints = lambda j: (j, 0, 0)
     rows = lambda j: (j, 0)
@@ -205,12 +209,13 @@ def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(d: int, scale: float, bpr_coeff: float):
-    """Build the custom-VJP fused loss for static (d, scale, coeff)."""
+def _make_fused(d: int, scale: float, bpr_coeff: float, loss: str):
+    """Build the custom-VJP fused loss for static (d, scale, coeff, loss)."""
 
     def weights(mask):
         count = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
-        w1 = -1.0 / (10.0 * count)
+        # reference: loss = −mean(sp(10Δcos))/10 + reg; standard: +mean(sp(−Δ)) + reg
+        w1 = (-1.0 / (10.0 * count)) if loss == "reference" else (1.0 / count)
         w2 = bpr_coeff / (count * d)
         return jnp.stack([w1, w2]).reshape(1, 2)
 
@@ -221,19 +226,19 @@ def _make_fused(d: int, scale: float, bpr_coeff: float):
     @jax.custom_vjp
     def fused(fu, u_rows, fi, i_rows, ni, ul, pl_i, loc, inc, mask):
         u_tab, i_tab = pack(fu, u_rows, fi, i_rows)
-        loss, _, _, _ = _run_kernel(
+        out, _, _, _ = _run_kernel(
             u_tab, i_tab, ni, ul, pl_i, loc,
             inc.astype(jnp.int32), mask.astype(jnp.int32), weights(mask),
-            d=d, scale=scale)
-        return loss
+            d=d, scale=scale, loss=loss)
+        return out
 
     def fwd(fu, u_rows, fi, i_rows, ni, ul, pl_i, loc, inc, mask):
         u_tab, i_tab = pack(fu, u_rows, fi, i_rows)
-        loss, gu, gi, gni = _run_kernel(
+        out, gu, gi, gni = _run_kernel(
             u_tab, i_tab, ni, ul, pl_i, loc,
             inc.astype(jnp.int32), mask.astype(jnp.int32), weights(mask),
-            d=d, scale=scale)
-        return loss, (gu, gi, gni)
+            d=d, scale=scale, loss=loss)
+        return out, (gu, gi, gni)
 
     def bwd(res, ct):
         gu, gi, gni = res
@@ -246,10 +251,11 @@ def _make_fused(d: int, scale: float, bpr_coeff: float):
 
 
 def fused_bpr_loss(fu, u_rows, fi, i_rows, ni, user_local, pos_local, loc,
-                   in_cluster, mask, *, scale: float, bpr_coeff: float):
-    """Reference-parity BPR loss (ops/bpr.py::bpr_loss semantics) computed by
-    the fused Pallas kernel; differentiable wrt the five embedding args."""
+                   in_cluster, mask, *, scale: float, bpr_coeff: float,
+                   loss: str = "reference"):
+    """BPR loss (ops/bpr.py::bpr_loss / bpr_loss_standard semantics) computed
+    by the fused Pallas kernel; differentiable wrt the five embedding args."""
     d = int(fu.shape[1])
-    fn = _make_fused(d, float(scale), float(bpr_coeff))
+    fn = _make_fused(d, float(scale), float(bpr_coeff), loss)
     return fn(fu, u_rows, fi, i_rows, ni, user_local, pos_local, loc,
               in_cluster, mask)

@@ -259,7 +259,7 @@ def compact_cluster_loss(
     final = acc.astype(jnp.float32) * scale
     fu, fi = final[:u_pad], final[u_pad:]
 
-    if cfg.train.fused_bpr and cfg.train.loss == "reference":
+    if cfg.train.fused_bpr and cfg.train.loss in ("reference", "standard"):
         # single fused Pallas pass: loss + all embedding gradients
         # (ops/pallas_bpr.py); the only XLA row ops left are the global
         # negative-row gather/scatter and the cluster-row table updates
@@ -270,7 +270,8 @@ def compact_cluster_loss(
         in_cluster = item_ids[loc] == neg
         return fused_bpr_loss(fu, u_rows, fi, i_rows, ni, user_local,
                               pos_local, loc, in_cluster, mask,
-                              scale=scale, bpr_coeff=cfg.train.bpr_coeff)
+                              scale=scale, bpr_coeff=cfg.train.bpr_coeff,
+                              loss=cfg.train.loss)
 
     # gather (final ‖ initial) in ONE row op per index set: TPU gather/scatter
     # cost is per-ROW (~24ns/row measured, independent of width up to 128

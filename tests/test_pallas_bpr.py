@@ -102,3 +102,25 @@ def test_fused_padding_neutral():
     padded = compact_cluster_loss(params, tuple(cluster2), neg2, cfg_f,
                                   cc.u_pad, cc.i_pad, adj)
     assert abs(float(base) - float(padded)) < 1e-5
+
+
+def test_fused_standard_loss_matches_xla():
+    """The fused kernel's 'standard' variant must match bpr_loss_standard."""
+    cc, params = _problem(seed=9)
+    cluster = tuple(x[0] for x in (
+        cc.user_ids, cc.item_ids, cc.src, cc.dst, cc.w,
+        cc.user_local, cc.pos_local, cc.mask))
+    neg = sample_negative(jax.random.PRNGKey(4), cluster[5].shape[0], 160)
+    adj = cc.adj[0]
+    cfg_x = Config(model=ModelConfig(num_layers=2, dim=16),
+                   train=TrainConfig(loss="standard"))
+    cfg_f = cfg_x.replace(train=TrainConfig(loss="standard", fused_bpr=True))
+    lx, gx = jax.value_and_grad(compact_cluster_loss)(
+        params, cluster, neg, cfg_x, cc.u_pad, cc.i_pad, adj)
+    lf, gf = jax.value_and_grad(compact_cluster_loss)(
+        params, cluster, neg, cfg_f, cc.u_pad, cc.i_pad, adj)
+    assert abs(float(lx) - float(lf)) < 5e-4
+    for a, b in [(gx.user_emb, gf.user_emb), (gx.item_emb, gf.item_emb)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 1e-2, f"grad rel err {rel}"
