@@ -228,7 +228,7 @@ def bench_serving(data, scale, batch=1024, iters=20):
             s, i = serve(q)
         float(s[0, 0])
         best = min(best, (time.time() - t0) / iters)
-    return batch / best
+    return q.shape[0] / best  # actual batch: user_emb may have < `batch` rows
 
 
 def get_baseline(data, parts, scale, scale_name):

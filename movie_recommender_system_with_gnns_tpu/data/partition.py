@@ -126,8 +126,10 @@ def _balance_kept_edges_numpy(u, it, part_of_user, part_of_item, num_parts,
     target = int(tol * kept.sum() / num_parts) + 1
 
     # caps on kept-user/kept-item counts per part (they set u_pad/i_pad — the
-    # compact trainer's padded node widths; see native gc_partition_balance)
-    num_items = int(it.max()) + 1 if it.size else 0
+    # compact trainer's padded node widths; see native gc_partition_balance).
+    # kedge_item must span ALL items (edgeless high ids included) — it is used
+    # as a boolean mask over part_of_item below
+    num_items = part_of_item.shape[0]
     kept_edge = part_of_user[u] == part_of_item[it]
     kedge_item = np.bincount(it[kept_edge], minlength=num_items)
     kuser = np.bincount(part_of_user[own > 0], minlength=num_parts).astype(np.int64)

@@ -33,6 +33,7 @@ loss = −score + reg; negatives out of cluster use the analytic
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +48,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_tile(u_pad: int, i_pad: int, d: int) -> int:
-    """Largest tile whose VMEM footprint fits: resident tables + grad
-    accumulators are fixed; the three one-hot tiles scale with the tile size
+def _pick_tile(u_pad: int, i_pad: int, d: int) -> Optional[int]:
+    """Largest tile whose VMEM footprint fits, or None when even the smallest
+    tile cannot (the resident tables + grad accumulators alone overflow):
+    resident state is fixed; the three one-hot tiles scale with the tile size
     (bf16, kept live through the in-kernel backward)."""
     fixed = (u_pad + i_pad) * 2 * d * 4 * 2      # [prop‖init] tables + grads
     for tb in (1024, 512, 256, 128):
@@ -59,7 +61,14 @@ def _pick_tile(u_pad: int, i_pad: int, d: int) -> int:
         stream = tb * d * 4 * 4                      # ni in, gni out, u/p cats
         if fixed + onehot + stream <= VMEM_BUDGET:
             return tb
-    return 128
+    return None
+
+
+def fused_bpr_supported(u_pad: int, i_pad: int, d: int) -> bool:
+    """True when the cluster tables fit the kernel's VMEM budget — callers
+    should fall back to the XLA loss path otherwise (more clusters shrink
+    u_pad/i_pad and re-enable the kernel)."""
+    return _pick_tile(u_pad, i_pad, d) is not None
 
 
 def _bpr_tile_kernel(s_ref, ul_ref, pl_ref, loc_ref, inc_ref, m_ref,
@@ -155,6 +164,11 @@ def _run_kernel(u_tab, i_tab, ni, ul, pl_i, loc, inc, m, w, *, d, scale, loss):
     u_pad, two_d = u_tab.shape
     i_pad = i_tab.shape[0]
     tb = _pick_tile(u_pad, i_pad, d)
+    if tb is None:
+        raise ValueError(
+            f"fused BPR kernel: cluster tables (u_pad={u_pad}, i_pad={i_pad}, "
+            f"d={d}) exceed the VMEM budget — use more clusters or "
+            "fused_bpr=False (compact_cluster_loss falls back automatically)")
     bp = _round_up(b, tb)
     if bp != b:
         pad = bp - b

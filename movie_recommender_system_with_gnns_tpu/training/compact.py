@@ -202,6 +202,10 @@ def densify_adjacency(cc: CompactClusters, dtype=jnp.bfloat16,
 
     with ThreadPoolExecutor() as ex:  # bincount/astype release the GIL
         list(ex.map(_one, range(k)))
+    # the host edge cache exists solely for this densification — drop it so
+    # ~200 MB of numpy arrays don't stay pinned through the training run
+    if host is not None:
+        del cc._host_edges
     return CompactClusters(
         cc.user_ids, cc.item_ids, cc.src, cc.dst, cc.w, cc.user_local,
         cc.pos_local, cc.mask, cc.edge_counts, cc.user_valid, cc.item_valid,
@@ -260,18 +264,27 @@ def compact_cluster_loss(
     fu, fi = final[:u_pad], final[u_pad:]
 
     if cfg.train.fused_bpr and cfg.train.loss in ("reference", "standard"):
-        # single fused Pallas pass: loss + all embedding gradients
-        # (ops/pallas_bpr.py); the only XLA row ops left are the global
-        # negative-row gather/scatter and the cluster-row table updates
-        from ..ops.pallas_bpr import fused_bpr_loss
+        from ..ops.pallas_bpr import fused_bpr_loss, fused_bpr_supported
 
-        ni = params.item_emb[neg]
-        loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
-        in_cluster = item_ids[loc] == neg
-        return fused_bpr_loss(fu, u_rows, fi, i_rows, ni, user_local,
-                              pos_local, loc, in_cluster, mask,
-                              scale=scale, bpr_coeff=cfg.train.bpr_coeff,
-                              loss=cfg.train.loss)
+        if not fused_bpr_supported(u_pad, i_pad, params.user_emb.shape[1]):
+            import warnings
+
+            warnings.warn(
+                f"fused_bpr disabled: cluster tables (u_pad={u_pad}, "
+                f"i_pad={i_pad}) exceed the kernel's VMEM budget — using the "
+                "XLA loss path (more clusters re-enable the kernel)",
+                stacklevel=2)
+        else:
+            # single fused Pallas pass: loss + all embedding gradients
+            # (ops/pallas_bpr.py); the only XLA row ops left are the global
+            # negative-row gather/scatter and the cluster-row table updates
+            ni = params.item_emb[neg]
+            loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
+            in_cluster = item_ids[loc] == neg
+            return fused_bpr_loss(fu, u_rows, fi, i_rows, ni, user_local,
+                                  pos_local, loc, in_cluster, mask,
+                                  scale=scale, bpr_coeff=cfg.train.bpr_coeff,
+                                  loss=cfg.train.loss)
 
     # gather (final ‖ initial) in ONE row op per index set: TPU gather/scatter
     # cost is per-ROW (~24ns/row measured, independent of width up to 128
@@ -437,6 +450,12 @@ def create_lazy_train_state(cfg: Config, params: LightGCNParams) -> TrainState:
 def make_compact_epoch_fn(cfg: Config):
     """One fused ``lax.scan`` pass over all compact clusters per call."""
     if cfg.train.optimizer == "lazy_adam":
+        if cfg.train.fused_bpr:
+            import warnings
+
+            warnings.warn(
+                "fused_bpr is not wired into the lazy_adam trainer — the "
+                "lazy row-update epoch uses the XLA loss path", stacklevel=2)
         return make_compact_lazy_epoch_fn(cfg)
     opt = make_optimizer(cfg)
 

@@ -74,8 +74,11 @@ def test_partition_balance_caps_kept_edges(tiny_data):
     kept_base = sum(p.shape[1] for p in base)
     kept_bal = sum(p.shape[1] for p in bal)
     sizes = np.array([p.shape[1] for p in bal if p.shape[1] > 0])
-    # cap holds up to single-user granularity (a user's whole edge bundle moves)
-    assert sizes.max() <= 1.1 * sizes.mean() + 2 * sizes.max() / max(len(sizes), 1)
+    # cap holds up to single-user granularity (a user's whole edge bundle
+    # moves at once, so allow one max-degree user's edges of slack)
+    fwd = (e[0] < nu) & (e[1] >= nu)
+    max_user_edges = 2 * int(np.bincount(e[0][fwd], minlength=nu).max())
+    assert sizes.max() <= 1.1 * sizes.mean() + max_user_edges
     # retention must not collapse
     assert kept_bal >= 0.7 * kept_base
     # every balanced part is still a valid intra-cluster edge set
@@ -99,4 +102,6 @@ def test_partition_balance_numpy_fallback(tiny_data, monkeypatch):
     n = nu + tiny_data.num_items
     bal = P.partition_bipartite_greedy(e, nu, n, 4, balance_tol=1.1)
     sizes = np.array([p.shape[1] for p in bal if p.shape[1] > 0])
-    assert sizes.max() <= 1.1 * sizes.mean() + 2 * sizes.max() / max(len(sizes), 1)
+    fwd = (e[0] < nu) & (e[1] >= nu)
+    max_user_edges = 2 * int(np.bincount(e[0][fwd], minlength=nu).max())
+    assert sizes.max() <= 1.1 * sizes.mean() + max_user_edges
