@@ -180,14 +180,25 @@ def load_movielens(
     (dataset_handler.py:75-141): usecols-limited reads, ``rating >= min_rating``
     filter, first-appearance-ordered dense id maps, undirected doubling.
     """
-    if pd is None:
-        raise RuntimeError("pandas is required to read MovieLens CSVs")
-    ratings = pd.read_csv(ratings_path, usecols=["userId", "movieId", "rating"])
-    ratings = ratings[ratings["rating"] >= min_rating]
-    movies = pd.read_csv(movies_path, usecols=["movieId", "title"]) if movies_path else None
+    from . import native
 
-    user_raw = ratings["userId"].to_numpy()
-    movie_raw = ratings["movieId"].to_numpy()
+    loaded = native.load_ratings_csv(ratings_path, min_rating)
+    if loaded is not None:
+        # native fast path: mmap + threaded parse, filter fused (graphcore.cpp
+        # gc_load_ratings_csv) — the reference reads 25M rows through pandas
+        # (dataset_handler.py:105)
+        user_raw, movie_raw = loaded
+    else:
+        if pd is None:
+            raise RuntimeError("pandas is required to read MovieLens CSVs")
+        ratings = pd.read_csv(ratings_path, usecols=["userId", "movieId", "rating"])
+        ratings = ratings[ratings["rating"] >= min_rating]
+        user_raw = ratings["userId"].to_numpy()
+        movie_raw = ratings["movieId"].to_numpy()
+    if pd is not None and movies_path:
+        movies = pd.read_csv(movies_path, usecols=["movieId", "title"])
+    else:
+        movies = None
     # first-appearance order, like dict-comprehension over .unique()
     # (dataset_handler.py:115-118)
     first_user_ids = user_raw[np.sort(np.unique(user_raw, return_index=True)[1])]

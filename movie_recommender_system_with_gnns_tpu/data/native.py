@@ -70,6 +70,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                      i32p, i32p]
     lib.gc_member_hashes.restype = ctypes.c_int64
     lib.gc_member_hashes.argtypes = [i32p, i32p, ctypes.c_int64, u64p]
+    lib.gc_count_csv_lines.restype = ctypes.c_int64
+    lib.gc_count_csv_lines.argtypes = [ctypes.c_char_p]
+    lib.gc_load_ratings_csv.restype = ctypes.c_int64
+    lib.gc_load_ratings_csv.argtypes = [ctypes.c_char_p, ctypes.c_float,
+                                        i32p, i32p]
     _LIB = lib
     return lib
 
@@ -153,3 +158,22 @@ def member_hashes(u: np.ndarray, it: np.ndarray) -> np.ndarray:
     m = lib.gc_member_hashes(np.ascontiguousarray(u, np.int32),
                              np.ascontiguousarray(it, np.int32), u.shape[0], out)
     return out[:m]
+
+
+def load_ratings_csv(path: str, min_rating: float) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native ratings.csv ingest: mmap + threaded parse with the
+    rating>=min filter fused in, file order preserved (gc_load_ratings_csv).
+    Returns (userId, movieId) int32 arrays, or None when the native lib is
+    unavailable (caller falls back to pandas)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.gc_count_csv_lines(path.encode())
+    if n < 0:
+        raise FileNotFoundError(path)
+    users = np.empty(n, np.int32)
+    movies = np.empty(n, np.int32)
+    kept = lib.gc_load_ratings_csv(path.encode(), min_rating, users, movies)
+    if kept < 0:
+        raise FileNotFoundError(path)
+    return users[:kept], movies[:kept]

@@ -22,7 +22,13 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 extern "C" {
 
@@ -318,6 +324,146 @@ int64_t gc_member_hashes(const int32_t* u, const int32_t* it, int64_t e,
     out_hash[m++] = out_hash[i];
   }
   return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CSV ratings ingest: the native data-loader leg of the runtime. The reference
+// reads ml-25m's 25M-row ratings.csv through pandas (dataset_handler.py:105);
+// this parses "userId,movieId,rating[,timestamp]" with mmap + threads and the
+// rating>=min filter fused in, preserving file order (the dense id maps are
+// first-appearance ordered, so order matters).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MappedFile {
+  const char* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+  bool ok() const { return data != nullptr; }
+  explicit MappedFile(const char* path) {
+    fd = open(path, O_RDONLY);
+    if (fd < 0) return;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size == 0) { close(fd); fd = -1; return; }
+    void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) { close(fd); fd = -1; return; }
+    data = static_cast<const char*>(p);
+    size = st.st_size;
+  }
+  ~MappedFile() {
+    if (data) munmap(const_cast<char*>(data), size);
+    if (fd >= 0) close(fd);
+  }
+};
+
+// parse one data line; returns false if malformed or filtered out
+inline bool parse_line(const char* p, const char* end, float min_rating,
+                       int32_t* user, int32_t* movie) {
+  int64_t a = 0;
+  if (p >= end || *p < '0' || *p > '9') return false;
+  while (p < end && *p >= '0' && *p <= '9') a = a * 10 + (*p++ - '0');
+  if (p >= end || *p != ',') return false;
+  ++p;
+  int64_t b = 0;
+  if (p >= end || *p < '0' || *p > '9') return false;
+  while (p < end && *p >= '0' && *p <= '9') b = b * 10 + (*p++ - '0');
+  if (p >= end || *p != ',') return false;
+  ++p;
+  // rating: digits[.digits]
+  double r = 0;
+  while (p < end && *p >= '0' && *p <= '9') r = r * 10 + (*p++ - '0');
+  if (p < end && *p == '.') {
+    ++p;
+    double f = 0.1;
+    while (p < end && *p >= '0' && *p <= '9') { r += (*p++ - '0') * f; f *= 0.1; }
+  }
+  if (r < min_rating) return false;
+  *user = static_cast<int32_t>(a);
+  *movie = static_cast<int32_t>(b);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count data lines (excluding the header) — sizes the caller's buffers.
+int64_t gc_count_csv_lines(const char* path) {
+  MappedFile f(path);
+  if (!f.ok()) return -1;
+  int64_t lines = 0;
+  const char* p = f.data;
+  const char* end = f.data + f.size;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    ++lines;
+    if (!nl) break;
+    p = nl + 1;
+  }
+  if (f.size && f.data[f.size - 1] == '\n') { /* counted by loop */ }
+  return std::max<int64_t>(0, lines - 1);  // minus header
+}
+
+// Parse ratings.csv, keep rows with rating >= min_rating, file order
+// preserved. out buffers must hold gc_count_csv_lines(path) entries.
+// Returns kept-row count (or -1 on IO error).
+int64_t gc_load_ratings_csv(const char* path, float min_rating,
+                            int32_t* out_user, int32_t* out_movie) {
+  MappedFile f(path);
+  if (!f.ok()) return -1;
+  const char* begin = f.data;
+  const char* end = f.data + f.size;
+  // skip header line
+  const char* first = static_cast<const char*>(memchr(begin, '\n', f.size));
+  if (!first) return 0;
+  begin = first + 1;
+
+  unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+  nt = std::min(nt, 8u);
+  size_t span = (end - begin) / nt + 1;
+  std::vector<const char*> starts(nt + 1);
+  starts[0] = begin;
+  for (unsigned t = 1; t < nt; ++t) {
+    const char* guess = begin + t * span;
+    if (guess >= end) { starts[t] = end; continue; }
+    const char* nl = static_cast<const char*>(memchr(guess, '\n', end - guess));
+    starts[t] = nl ? nl + 1 : end;
+  }
+  starts[nt] = end;
+
+  std::vector<std::vector<int32_t>> users(nt), movies(nt);
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      const char* p = starts[t];
+      const char* stop = starts[t + 1];
+      users[t].reserve((stop - p) / 24 + 16);
+      movies[t].reserve((stop - p) / 24 + 16);
+      while (p < stop) {
+        const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+        const char* line_end = nl ? nl : end;
+        int32_t uu, mm;
+        if (parse_line(p, line_end, min_rating, &uu, &mm)) {
+          users[t].push_back(uu);
+          movies[t].push_back(mm);
+        }
+        if (!nl || nl >= stop) break;
+        p = nl + 1;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  int64_t total = 0;
+  for (unsigned t = 0; t < nt; ++t) {
+    std::memcpy(out_user + total, users[t].data(), users[t].size() * 4);
+    std::memcpy(out_movie + total, movies[t].data(), movies[t].size() * 4);
+    total += static_cast<int64_t>(users[t].size());
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -82,3 +82,48 @@ def test_data_handler_reference_api(csv_dir, tmp_path):
     assert len(loader) >= 1
     for batch in loader:   # iterable of cluster batches, like the reference loop
         assert batch.num_edges > 0
+
+
+def test_native_csv_loader_matches_pandas(tmp_path):
+    """gc_load_ratings_csv must reproduce the pandas path exactly: same rows,
+    same (first-appearance) order, same >=min filter."""
+    import pandas as pd
+
+    from movie_recommender_system_with_gnns_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(3)
+    n = 20_000
+    users = rng.integers(1, 700, n)
+    movies = rng.integers(1, 900, n)
+    ratings = rng.choice([0.5, 1.0, 2.5, 3.5, 4.0, 4.5, 5.0], n)
+    path = tmp_path / "ratings.csv"
+    with open(path, "w") as f:
+        f.write("userId,movieId,rating,timestamp\n")
+        for u, m, r in zip(users, movies, ratings):
+            f.write(f"{u},{m},{r},1234567890\n")
+
+    got = native.load_ratings_csv(str(path), 4.0)
+    assert got is not None
+    gu, gm = got
+    df = pd.read_csv(path, usecols=["userId", "movieId", "rating"])
+    df = df[df["rating"] >= 4.0]
+    np.testing.assert_array_equal(gu, df["userId"].to_numpy().astype(np.int32))
+    np.testing.assert_array_equal(gm, df["movieId"].to_numpy().astype(np.int32))
+
+
+def test_native_csv_loader_no_trailing_newline(tmp_path):
+    from movie_recommender_system_with_gnns_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    path = tmp_path / "r.csv"
+    path.write_text("userId,movieId,rating\n1,10,4.5\n2,20,3.0\n3,30,5.0")
+    gu, gm = native.load_ratings_csv(str(path), 4.0)
+    np.testing.assert_array_equal(gu, [1, 3])
+    np.testing.assert_array_equal(gm, [10, 30])
