@@ -127,3 +127,55 @@ def test_native_csv_loader_no_trailing_newline(tmp_path):
     gu, gm = native.load_ratings_csv(str(path), 4.0)
     np.testing.assert_array_equal(gu, [1, 3])
     np.testing.assert_array_equal(gm, [10, 30])
+
+
+def test_csv_to_training_end_to_end(tmp_path):
+    """Real-data path: ratings.csv + movies.csv -> load (native or pandas) ->
+    split -> cluster -> one training epoch -> serving lookup by raw ids."""
+    import jax
+
+    from movie_recommender_system_with_gnns_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainConfig,
+    )
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        recommend_from_user,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.pipeline import (
+        prepare_training_data,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        create_train_state, train_model,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    data_dir = tmp_path / "ml"
+    data_dir.mkdir()
+    with open(data_dir / "ratings.csv", "w") as f:
+        f.write("userId,movieId,rating,timestamp\n")
+        for u, m, r in zip(rng.integers(1, 250, n), rng.integers(1, 400, n),
+                           rng.choice([2.0, 3.0, 4.0, 4.5, 5.0], n)):
+            f.write(f"{u},{m},{r},0\n")
+    with open(data_dir / "movies.csv", "w") as f:
+        f.write("movieId,title,genres\n")
+        for m in range(1, 400):
+            f.write(f"{m},Movie {m},Drama\n")
+
+    cfg = Config(
+        data=DataConfig(dataset="ml-100k", data_dir=str(data_dir),
+                        indexes_dir=str(tmp_path / "idx")),
+        model=ModelConfig(num_layers=2, dim=16),
+        train=TrainConfig(epochs=1, num_clusters=4,
+                          checkpoint_path=str(tmp_path / "best.npz")),
+    )
+    data, clusters, val, test = prepare_training_data(cfg)
+    assert data.movie_titles is not None
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    state, hist = train_model(cfg, state, clusters, val, test)
+    assert np.isfinite(hist["train_loss"][-1])
+
+    # serving through RAW ids (the CSV's userId space)
+    raw_uid = int(data.user_ids[0])
+    recs = recommend_from_user(state.params, raw_uid, data)
+    assert "recommendations" in recs and len(recs["recommendations"]) > 0
+    assert all("title" in r for r in recs["recommendations"])
