@@ -52,6 +52,8 @@ def main():
                     help="fused Pallas BPR kernel (reference loss only)")
     ap.add_argument("--balance-tol", type=float, default=0.0,
                     help="kept-edge balance cap (tol x mean; 0 = off)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="split/init/sampling seed (variance studies)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -64,7 +66,7 @@ def main():
         model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
                           partitioner=args.partitioner, fused_bpr=args.fused_bpr,
-                          partition_balance_tol=args.balance_tol,
+                          partition_balance_tol=args.balance_tol, seed=args.seed,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),
     )

@@ -74,10 +74,17 @@ def compute_embeddings(
     users_final, items_final = propagate(
         params, graph, spmm, cfg.model.num_layers, cfg.model.readout,
     )
+    # gather (final ‖ initial) per index set in ONE row op: TPU gather cost is
+    # per-row and width-independent to 128 lanes (see training/compact.py)
+    d = params.user_emb.shape[1]
+    u_cat = jnp.concatenate([users_final, params.user_emb], axis=1)[batch.user]
+    i_cat = jnp.concatenate([items_final, params.item_emb], axis=1)
+    p_cat = i_cat[batch.pos_item]
+    n_cat = i_cat[neg_item]
     return (
-        users_final[batch.user], params.user_emb[batch.user],
-        items_final[batch.pos_item], params.item_emb[batch.pos_item],
-        items_final[neg_item], params.item_emb[neg_item],
+        u_cat[:, :d], u_cat[:, d:],
+        p_cat[:, :d], p_cat[:, d:],
+        n_cat[:, :d], n_cat[:, d:],
     )
 
 
