@@ -23,11 +23,13 @@ bfloat16 (TPU matmul operand precision). This matches the trainer's default
 ``compute_dtype=bfloat16`` propagation; the golden test bounds the loss error
 against the exact-f32 XLA path.
 
-Reference semantics preserved exactly (reference utils/train_test.py:18-64 via
-ops/bpr.py::bpr_loss): reg on initial embeddings with masked mean over B·d
-entries, cosine of L2-normalized finals, score = masked-mean softplus(10Δ)/10,
-loss = −score + reg; negatives out of cluster use the analytic
-``table_row · readout_scale`` final (see training/compact.py).
+Both loss variants are supported (``loss=`` static arg): "reference"
+(utils/train_test.py:18-64 via ops/bpr.py::bpr_loss — reg on initial
+embeddings with masked mean over B·d entries, cosine of L2-normalized finals,
+score = masked-mean softplus(10Δ)/10, loss = −score + reg) and "standard"
+(textbook −log σ(pos−neg) + reg, ops/bpr.py::bpr_loss_standard). Negatives out
+of cluster use the analytic ``table_row · readout_scale`` final (see
+training/compact.py).
 """
 
 from __future__ import annotations
