@@ -25,7 +25,7 @@ Both return, per cluster, a global-id edge array — feed to
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
@@ -50,6 +50,38 @@ def partition_bipartite_greedy(
     intra-cluster edge count at tol× the mean (the per-step padded triplet
     width is set by the LARGEST part, so balance buys epoch time directly).
     """
+    part_of_user, part_of_item = partition_assignments(
+        edge_index, num_users, num_nodes, num_parts, seed=seed,
+        balance_tol=balance_tol)
+    head, tail = edge_index[0], edge_index[1]
+    fwd = (head < num_users) & (tail >= num_users)
+    u = head[fwd].astype(np.int64)
+    it = (tail[fwd] - num_users).astype(np.int64)
+    ep = part_of_user[u]
+    keep = ep == part_of_item[it]
+    u_k, it_k, p_k = u[keep], it[keep], ep[keep]
+    out: List[np.ndarray] = []
+    for p in range(num_parts):
+        m = p_k == p
+        uu, ii = u_k[m], it_k[m] + num_users
+        # undirected: both directions, matching the reference's doubled graph
+        e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
+        out.append(e)
+    return out
+
+
+def partition_assignments(
+    edge_index: np.ndarray,
+    num_users: int,
+    num_nodes: int,
+    num_parts: int,
+    seed: int = 0,
+    balance_tol: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Node→part assignments (part_of_user, part_of_item) — the raw output of
+    the greedy partitioner, exposed for consumers that need the node partition
+    itself (e.g. hybrid block-diagonal propagation) rather than kept-edge
+    subgraphs."""
     head, tail = edge_index[0], edge_index[1]
     # operate on the user→item half; mirror at the end
     fwd = (head < num_users) & (tail >= num_users)
@@ -65,16 +97,7 @@ def partition_bipartite_greedy(
         part_of_user, part_of_item, _ = native.partition_greedy(
             u, it, num_users, num_items, num_parts, seed,
             balance_tol=balance_tol)
-        ep = part_of_user[u]
-        keep = ep == part_of_item[it]
-        u_k, it_k, p_k = u[keep], it[keep], ep[keep]
-        out: List[np.ndarray] = []
-        for p in range(num_parts):
-            m = p_k == p
-            uu, ii = u_k[m], it_k[m] + num_users
-            e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
-            out.append(e)
-        return out
+        return part_of_user, part_of_item
 
     u_deg = np.bincount(u, minlength=num_users)
     order = np.argsort(-u_deg, kind="stable")
@@ -97,18 +120,7 @@ def partition_bipartite_greedy(
     if balance_tol > 0:
         part_of_user = _balance_kept_edges_numpy(
             u, it, part_of_user, part_of_item, num_parts, balance_tol)
-        ep = part_of_user[u]
-
-    keep = ep == part_of_item[it]
-    u_k, it_k, p_k = u[keep], it[keep], ep[keep]
-    out: List[np.ndarray] = []
-    for p in range(num_parts):
-        m = p_k == p
-        uu, ii = u_k[m], it_k[m] + num_users
-        # undirected: both directions, matching the reference's doubled graph
-        e = np.stack([np.concatenate([uu, ii]), np.concatenate([ii, uu])]).astype(np.int32)
-        out.append(e)
-    return out
+    return part_of_user, part_of_item
 
 
 def _balance_kept_edges_numpy(u, it, part_of_user, part_of_item, num_parts,

@@ -4,7 +4,8 @@ from .sampling import (
     TripletBatch, cantor_hash_pair, get_user_items, is_in_feasible,
     sample_negative, sample_negative_feasible, triplets_from_edges,
 )
-from .spmm import DeviceCOO, DeviceELL, make_spmm_chunked, spmm_ell, spmm_segment
+from .spmm import (DeviceCOO, DeviceELL, HybridGraph, build_hybrid_graph,
+                   make_spmm_chunked, spmm_ell, spmm_hybrid, spmm_segment)
 from .pallas_mips import mips_topk_pallas
 from .topk import full_sort_scores, merge_topk, mips_topk
 
@@ -14,6 +15,7 @@ __all__ = [
     "TripletBatch", "triplets_from_edges", "sample_negative",
     "sample_negative_feasible", "cantor_hash_pair", "get_user_items",
     "is_in_feasible",
-    "DeviceCOO", "DeviceELL", "spmm_segment", "spmm_ell", "make_spmm_chunked",
+    "DeviceCOO", "DeviceELL", "HybridGraph", "build_hybrid_graph",
+    "spmm_segment", "spmm_ell", "spmm_hybrid", "make_spmm_chunked",
     "mips_topk", "mips_topk_pallas", "merge_topk", "full_sort_scores",
 ]

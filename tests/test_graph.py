@@ -125,3 +125,40 @@ def test_partition_edges_random_keeps_everything(tiny_data):
     assert edge_retention(parts, e.shape[1]) == 1.0
     sizes = np.array([p.shape[1] for p in parts])
     assert sizes.max() < 2 * sizes.mean()
+
+
+def test_hybrid_spmm_matches_segment():
+    """Â = Â_diag + Â_off decomposition must reproduce spmm_segment exactly
+    (f32 blocks on CPU; bf16 blocks are the TPU perf configuration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommender_system_with_gnns_tpu.data.graph import COOGraph
+    from movie_recommender_system_with_gnns_tpu.data.movielens import (
+        make_synthetic_movielens,
+    )
+    from movie_recommender_system_with_gnns_tpu.data.partition import (
+        partition_assignments,
+    )
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+        DeviceCOO, build_hybrid_graph, spmm_hybrid, spmm_segment,
+    )
+
+    data = make_synthetic_movielens(300, 500, 20_000, seed=4)
+    n = 800
+    pu, pi = partition_assignments(data.edge_index, 300, n, 4)
+    node_part = np.concatenate([pu, pi])
+    h = build_hybrid_graph(data.edge_index, n, node_part, 4, align=8,
+                           block_dtype=jnp.float32)
+    full = DeviceCOO.from_host(COOGraph.build(data.edge_index, n))
+    emb = jax.random.normal(jax.random.PRNGKey(0), (n, 16))
+    a = np.asarray(spmm_segment(full, emb))
+    b = np.asarray(spmm_hybrid(h, emb))
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+    assert rel < 1e-5, rel
+    # differentiable: grads flow through both the dense blocks and the COO path
+    g = jax.grad(lambda e: spmm_hybrid(h, e).sum())(emb)
+    gref = jax.grad(lambda e: spmm_segment(full, e).sum())(emb)
+    rel_g = np.abs(np.asarray(g) - np.asarray(gref)).max() / (
+        np.abs(np.asarray(gref)).max() + 1e-12)
+    assert rel_g < 1e-5, rel_g
