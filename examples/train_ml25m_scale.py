@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--eval-propagated", action="store_true")
     ap.add_argument("--partitioner", default="greedy",
                     choices=["greedy", "random_edges"])
+    ap.add_argument("--trainer", default="compact",
+                    choices=["compact", "full", "fullgraph"])
+    ap.add_argument("--fullgraph-steps", type=int, default=16)
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
     ap.add_argument("--balance-tol", type=float, default=0.0,
@@ -66,6 +69,8 @@ def main():
         model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
                           partitioner=args.partitioner, fused_bpr=args.fused_bpr,
+                          trainer=args.trainer,
+                          fullgraph_steps=args.fullgraph_steps,
                           partition_balance_tol=args.balance_tol, seed=args.seed,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),

@@ -38,6 +38,7 @@ def _build_cfg(args) -> Config:
                         optimizer=getattr(args, "optimizer", "adam"),
                         partitioner=getattr(args, "partitioner", "greedy"),
                         trainer=getattr(args, "trainer", "compact"),
+                        fullgraph_steps=getattr(args, "fullgraph_steps", 16),
                         fused_bpr=getattr(args, "fused_bpr", False))
     return Config(data=data, model=model, train=train)
 
@@ -265,7 +266,14 @@ def main(argv=None) -> int:
     pt.add_argument("--optimizer", default="adam", choices=["adam", "lazy_adam"])
     pt.add_argument("--partitioner", default="greedy",
                     choices=["greedy", "random_edges"])
-    pt.add_argument("--trainer", default="compact", choices=["compact", "full"])
+    pt.add_argument("--trainer", default="compact",
+                    choices=["compact", "full", "fullgraph"],
+                    help="compact = Cluster-GCN in local node space; full = "
+                         "reference full-node-space clusters; fullgraph = "
+                         "every step propagates ALL train edges (hybrid "
+                         "block-diagonal kernel, 100%% edge retention)")
+    pt.add_argument("--fullgraph-steps", type=int, default=16,
+                    help="optimizer updates per fullgraph epoch")
     pt.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR loss+grad kernel (ops/pallas_bpr.py)")
     pt.add_argument("--full-eval", action="store_true",

@@ -88,8 +88,22 @@ class TrainConfig:
     partition_balance_tol: float = 0.0
     # "compact" propagates each cluster in its local node space (fast,
     # provably equivalent — training/compact.py); "full" keeps the reference's
-    # full-node-space propagation (training/train.py)
+    # full-node-space propagation (training/train.py); "fullgraph" drops the
+    # Cluster-GCN edge-coverage compromise entirely — every step propagates
+    # over ALL train edges via the hybrid block-diagonal kernel
+    # (training/fullgraph.py)
     trainer: str = "compact"
+    # fullgraph-trainer knobs: optimizer updates per epoch (each one full
+    # propagation + one shuffled triplet minibatch), the node-partition count
+    # behind the hybrid dense blocks (0 = reuse num_clusters), and the
+    # symmetric-Â custom VJP (backward reuses the forward kernel; exact for
+    # the undirected GCN-normalized adjacency)
+    fullgraph_steps: int = 16
+    hybrid_parts: int = 0
+    symmetric_vjp: bool = True
+    # dense-block operand precision for the hybrid kernel: bf16 is the MXU's
+    # native operand type (f32 accumulation); "float32" for exactness studies
+    hybrid_block_dtype: str = "bfloat16"
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments
     # (torch SparseAdam analog; see training/compact.py for exact semantics)

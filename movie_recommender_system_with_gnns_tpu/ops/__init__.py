@@ -5,7 +5,8 @@ from .sampling import (
     sample_negative, sample_negative_feasible, triplets_from_edges,
 )
 from .spmm import (DeviceCOO, DeviceELL, HybridGraph, build_hybrid_graph,
-                   make_spmm_chunked, spmm_ell, spmm_hybrid, spmm_segment)
+                   make_spmm_chunked, spmm_ell, spmm_hybrid, spmm_hybrid_sym,
+                   spmm_segment, spmm_segment_sym, spmm_symmetric)
 from .pallas_mips import mips_topk_pallas
 from .topk import full_sort_scores, merge_topk, mips_topk
 
@@ -17,5 +18,6 @@ __all__ = [
     "is_in_feasible",
     "DeviceCOO", "DeviceELL", "HybridGraph", "build_hybrid_graph",
     "spmm_segment", "spmm_ell", "spmm_hybrid", "make_spmm_chunked",
+    "spmm_symmetric", "spmm_hybrid_sym", "spmm_segment_sym",
     "mips_topk", "mips_topk_pallas", "merge_topk", "full_sort_scores",
 ]

@@ -260,3 +260,49 @@ def spmm_hybrid(h: HybridGraph, emb: jax.Array) -> jax.Array:
         preferred_element_type=jnp.float32,
     ).astype(emb.dtype)                                   # (K, P, d)
     return out.at[h.ids.reshape(-1)].add(blk_out.reshape(-1, d))
+
+
+def _zero_cotangent(x):
+    """float0 for integer leaves (JAX's required int cotangent), zeros else.
+
+    The zeros are dead code — symmetric-spmm callers never differentiate the
+    graph — and XLA's DCE removes them; they only satisfy custom_vjp's
+    requirement that the returned cotangent matches the primal pytree.
+    """
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def spmm_symmetric(spmm_fn):
+    """Wrap ``spmm_fn(graph, emb)`` with a custom VJP that exploits Â = Âᵀ.
+
+    LightGCN's normalized adjacency is symmetric (undirected edge doubling +
+    D^{-1/2}AD^{-1/2} weights — reference light_gcn.py:33 semantics), so the
+    cotangent of ``Â@E`` is ``Â@g``: the backward pass reuses the same
+    forward-optimized kernel (sorted segment-sum / dense MXU blocks) instead of
+    the unsorted transpose scatter XLA's autodiff would otherwise emit.
+
+    The graph stays an explicit traced argument (NOT a closure constant — the
+    platform's remote-compile path serializes closure constants into the HLO
+    payload, which a 25M-scale adjacency overflows).
+    """
+
+    @jax.custom_vjp
+    def prop(graph, emb):
+        return spmm_fn(graph, emb)
+
+    def fwd(graph, emb):
+        return spmm_fn(graph, emb), graph
+
+    def bwd(graph, g):
+        return jax.tree_util.tree_map(_zero_cotangent, graph), spmm_fn(graph, g)
+
+    prop.defvjp(fwd, bwd)
+    return prop
+
+
+#: symmetric-backward hybrid propagation (the full-graph trainer's kernel)
+spmm_hybrid_sym = spmm_symmetric(spmm_hybrid)
+#: symmetric-backward segment-sum propagation
+spmm_segment_sym = spmm_symmetric(spmm_segment)

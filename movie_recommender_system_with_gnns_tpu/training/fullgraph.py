@@ -1,0 +1,151 @@
+"""Full-graph trainer: every step propagates over ALL train edges.
+
+The reference's Cluster-GCN regime (data/dataset_handler.py:256-288) trades
+edge coverage for tractability: at 100 parts only ~40% of ML-25M's edge mass
+survives inside clusters, and the dropped inter-cluster edges never produce a
+gradient. This trainer removes that compromise the TPU way:
+
+  * propagation runs on the FULL training adjacency via the hybrid
+    block-diagonal kernel (:func:`ops.spmm.spmm_hybrid`) — intra-cluster mass
+    as dense (K, P, P) MXU blocks, the remainder on the sorted segment-sum
+    gather path;
+  * the backward pass reuses the same kernel through the symmetric-Â custom
+    VJP (:func:`ops.spmm.spmm_symmetric`): Â = Âᵀ for the undirected
+    GCN-normalized graph, so XLA's unsorted transpose-scatter never appears;
+  * BPR triplets are minibatched: each epoch shuffles all train positives on
+    device and scans ``num_steps`` static-shape batches in ONE compiled
+    program (reference regime = 100 optimizer updates/epoch; here the step
+    count is a knob, ``TrainConfig.fullgraph_steps``).
+
+Semantics: identical loss math to :mod:`training.train` — same
+``compute_loss`` (reference compute_embeddings + bpr_loss,
+utils/train_test.py:18-134), same clip-1.0 + Adam (train_test.py:95,:236) —
+but with 100% edge retention in every propagation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..ops.sampling import TripletBatch, sample_negative
+from ..ops.spmm import (HybridGraph, build_hybrid_graph, spmm_hybrid,
+                        spmm_hybrid_sym)
+from .train import TrainState, compute_loss, make_optimizer
+
+
+class FullGraphTrainData:
+    """Device-resident full-graph training set: hybrid adjacency + all positives.
+
+    ``user``/``pos_item`` are the user→item half of the train edge set, padded
+    to ``num_steps * batch`` (padding is masked out of the loss). Everything —
+    including the hybrid graph — is passed into the jitted epoch program as
+    explicit arguments: the platform's remote-compile path serializes closure
+    constants into the HLO payload, which a 25M-scale adjacency overflows.
+    """
+
+    def __init__(self, hybrid: HybridGraph, user: jax.Array, pos_item: jax.Array,
+                 e_real: int, num_steps: int, batch: int):
+        self.hybrid = hybrid
+        self.user = user
+        self.pos_item = pos_item
+        self.e_real = e_real
+        self.num_steps = num_steps
+        self.batch = batch
+
+
+def build_fullgraph_data(
+    cfg: Config,
+    train_edge_index: np.ndarray,
+    num_users: int,
+    num_nodes: int,
+) -> FullGraphTrainData:
+    """Host-side build: node partition → hybrid adjacency → padded positives."""
+    from ..data.partition import partition_assignments
+
+    num_parts = cfg.train.hybrid_parts or cfg.train.num_clusters
+    part_of_user, part_of_item = partition_assignments(
+        train_edge_index, num_users, num_nodes, num_parts,
+        seed=cfg.data.split_seed, balance_tol=cfg.train.partition_balance_tol,
+    )
+    node_part = np.concatenate([part_of_user, part_of_item])
+    # dense Â blocks ride the MXU: bf16 operands are its native precision with
+    # f32 accumulation (the same trade the compact trainer's dense blocks make)
+    block_dtype = (jnp.float32 if cfg.train.hybrid_block_dtype == "float32"
+                   else jnp.bfloat16)
+    hybrid = build_hybrid_graph(
+        train_edge_index, num_nodes, node_part, num_parts,
+        block_dtype=block_dtype,
+        max_block_nodes=cfg.train.dense_adjacency_max_nodes,
+    )
+
+    head, tail = train_edge_index[0], train_edge_index[1]
+    fwd = (head < num_users) & (tail >= num_users)
+    users = head[fwd].astype(np.int32)
+    pos = (tail[fwd] - num_users).astype(np.int32)
+    e_real = int(users.shape[0])
+
+    if cfg.train.batch_size:
+        batch = int(cfg.train.batch_size)
+        num_steps = max(1, -(-e_real // batch))
+    else:
+        num_steps = max(1, cfg.train.fullgraph_steps)
+        batch = -(-e_real // num_steps)
+        batch = ((batch + 1023) // 1024) * 1024  # lane-aligned static width
+    e_pad = num_steps * batch
+    users = np.concatenate([users, np.zeros(e_pad - e_real, np.int32)])
+    pos = np.concatenate([pos, np.zeros(e_pad - e_real, np.int32)])
+    return FullGraphTrainData(
+        hybrid=hybrid, user=jnp.asarray(users), pos_item=jnp.asarray(pos),
+        e_real=e_real, num_steps=num_steps, batch=batch,
+    )
+
+
+def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
+    """One compiled program per epoch: shuffle → scan(num_steps × train_step).
+
+    Returned callable matches the driver's epoch signature
+    ``epoch_fn(state, fg, key) -> (state, mean_loss)``.
+    """
+    opt = make_optimizer(cfg)
+    spmm = spmm_hybrid_sym if cfg.train.symmetric_vjp else spmm_hybrid
+    e_real, num_steps, batch = fg.e_real, fg.num_steps, fg.batch
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_inner(state: TrainState, hybrid: HybridGraph, user: jax.Array,
+                    pos_item: jax.Array, key: jax.Array
+                    ) -> Tuple[TrainState, jax.Array]:
+        pkey, skey = jax.random.split(key)
+        # shuffle real positives; padding stays at the tail (masked)
+        perm = jax.random.permutation(pkey, e_real).astype(jnp.int32)
+        idx = jnp.concatenate(
+            [perm, jnp.arange(e_real, num_steps * batch, dtype=jnp.int32)])
+        u = user[idx].reshape(num_steps, batch)
+        p = pos_item[idx].reshape(num_steps, batch)
+        m = (idx < e_real).reshape(num_steps, batch)
+        keys = jax.random.split(skey, num_steps)
+
+        def body(st: TrainState, x):
+            uu, pp, mm, k = x
+            neg = sample_negative(k, batch, st.params.item_emb.shape[0])
+            tb = TripletBatch(user=uu, pos_item=pp, mask=mm)
+            loss, grads = jax.value_and_grad(compute_loss)(
+                st.params, hybrid, tb, neg, cfg, spmm)
+            updates, opt_state = opt.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            new = TrainState(params, opt_state, st.step + 1)
+            return new, loss * mm.sum()
+
+        st, wlosses = jax.lax.scan(body, state, (u, p, m, keys))
+        return st, jnp.sum(wlosses) / e_real
+
+    def epoch_fn(state: TrainState, fg_: FullGraphTrainData, key: jax.Array):
+        return epoch_inner(state, fg_.hybrid, fg_.user, fg_.pos_item, key)
+
+    return epoch_fn

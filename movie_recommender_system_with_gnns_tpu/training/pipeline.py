@@ -98,6 +98,14 @@ def prepare_training_data(
     )
     num_nodes = data.num_users + data.num_items
 
+    if cfg.train.trainer == "fullgraph":
+        from .fullgraph import build_fullgraph_data
+
+        train_obj = build_fullgraph_data(cfg, train_e, data.num_users, num_nodes)
+        val = build_eval_batch(val_e, num_nodes, data.num_users)
+        test = build_eval_batch(test_e, num_nodes, data.num_users)
+        return TrainingBundle(data, train_obj, val, test, (train_e, val_e, test_e))
+
     if cfg.train.use_clusters and cfg.train.num_clusters > 1:
         if cfg.train.partitioner == "random_edges":
             parts = partition_edges_random(

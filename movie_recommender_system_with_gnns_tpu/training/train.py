@@ -311,11 +311,15 @@ def train_model(
     #  - list of batches sharing one padded shape → fused full-space epoch scan
     #  - otherwise → eager per-cluster loop
     from .compact import CompactClusters, make_compact_epoch_fn
+    from .fullgraph import FullGraphTrainData, make_fullgraph_epoch_fn
 
     stacked = None
     epoch_fn = None
     train_step = None
-    if isinstance(clusters, CompactClusters):
+    if isinstance(clusters, FullGraphTrainData):
+        stacked = clusters
+        epoch_fn = make_fullgraph_epoch_fn(cfg, clusters)
+    elif isinstance(clusters, CompactClusters):
         stacked = clusters
         epoch_fn = make_compact_epoch_fn(cfg)
         if cfg.train.optimizer == "lazy_adam":
