@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--trainer", default="compact",
                     choices=["compact", "full", "fullgraph"])
     ap.add_argument("--fullgraph-steps", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--num-negatives", type=int, default=1)
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
     ap.add_argument("--balance-tol", type=float, default=0.0,
@@ -68,9 +70,11 @@ def main():
                         indexes_dir=os.path.join(args.out, "indexes")),
         model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
+                          lr=args.lr,
                           partitioner=args.partitioner, fused_bpr=args.fused_bpr,
                           trainer=args.trainer,
                           fullgraph_steps=args.fullgraph_steps,
+                          num_negatives=args.num_negatives,
                           partition_balance_tol=args.balance_tol, seed=args.seed,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),

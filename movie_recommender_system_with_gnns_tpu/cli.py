@@ -39,6 +39,7 @@ def _build_cfg(args) -> Config:
                         partitioner=getattr(args, "partitioner", "greedy"),
                         trainer=getattr(args, "trainer", "compact"),
                         fullgraph_steps=getattr(args, "fullgraph_steps", 16),
+                        num_negatives=getattr(args, "num_negatives", 1),
                         fused_bpr=getattr(args, "fused_bpr", False))
     return Config(data=data, model=model, train=train)
 
@@ -274,6 +275,8 @@ def main(argv=None) -> int:
                          "block-diagonal kernel, 100%% edge retention)")
     pt.add_argument("--fullgraph-steps", type=int, default=16,
                     help="optimizer updates per fullgraph epoch")
+    pt.add_argument("--num-negatives", type=int, default=1,
+                    help="negatives per positive (full/fullgraph trainers)")
     pt.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR loss+grad kernel (ops/pallas_bpr.py)")
     pt.add_argument("--full-eval", action="store_true",

@@ -104,6 +104,11 @@ class TrainConfig:
     # dense-block operand precision for the hybrid kernel: bf16 is the MXU's
     # native operand type (f32 accumulation); "float32" for exactness studies
     hybrid_block_dtype: str = "bfloat16"
+    # negatives per positive (reference draws exactly 1, helpers.py:79-80).
+    # K>1 averages the pairwise term over K — richer gradient per update,
+    # which pays most where updates are expensive (the fullgraph trainer).
+    # Honored by the full/fullgraph trainers; the compact/fused paths keep 1.
+    num_negatives: int = 1
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments
     # (torch SparseAdam analog; see training/compact.py for exact semantics)

@@ -32,6 +32,11 @@ def normalize_embedding(emb: jax.Array, eps: float = 0.0) -> jax.Array:
     return emb / nrm
 
 
+def _mean_over_negs(x: jax.Array) -> jax.Array:
+    """(B, K, d) → mean over K; (B, d) passes through (K=1 reference shape)."""
+    return jnp.mean(x, axis=1) if x.ndim == 3 else x
+
+
 def _masked_mean(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
     if mask is None:
         return jnp.mean(x)
@@ -53,17 +58,28 @@ def bpr_loss(
 ) -> jax.Array:
     """Reference-parity BPR loss; with ``mask`` (B,) bool, padded rows are ignored
     in every mean (so a padded batch computes the same value as the unpadded one).
+
+    Negative embeddings may be (B, d) — the reference's single uniform negative
+    (helpers.py:79-80) — or (B, K, d) for K negatives per positive (a quality
+    extension the reference lacks; the pairwise term averages over K, so K=1
+    reproduces the reference exactly).
     """
-    sq = emb_users**2 + emb_pos_items**2 + emb_neg_items**2
+    sq = emb_users**2 + emb_pos_items**2 + _mean_over_negs(emb_neg_items**2)
     reg_loss = bpr_coeff * _masked_mean(sq, mask)
 
     nu = normalize_embedding(emb_users_final)
     npos = normalize_embedding(emb_pos_items_final)
     nneg = normalize_embedding(emb_neg_items_final)
 
-    cos_pos = jnp.sum(nu * npos, axis=1)
-    cos_neg = jnp.sum(nu * nneg, axis=1)
-    score = _masked_mean(jax.nn.softplus(10.0 * (cos_pos - cos_neg)), mask) / 10.0
+    cos_pos = jnp.sum(nu * npos, axis=-1)
+    if nneg.ndim == 3:
+        cos_neg = jnp.sum(nu[:, None, :] * nneg, axis=-1)       # (B, K)
+        pair = jnp.mean(jax.nn.softplus(10.0 * (cos_pos[:, None] - cos_neg)),
+                        axis=1)
+    else:
+        cos_neg = jnp.sum(nu * nneg, axis=-1)
+        pair = jax.nn.softplus(10.0 * (cos_pos - cos_neg))
+    score = _masked_mean(pair, mask) / 10.0
     return -score + reg_loss
 
 
@@ -78,12 +94,18 @@ def bpr_loss_standard(
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Textbook BPR: −mean log σ(⟨u,p⟩ − ⟨u,n⟩) + L2 reg. Provided as the
-    'fixed' alternative to the reference quirk (selectable via config)."""
-    sq = emb_users**2 + emb_pos_items**2 + emb_neg_items**2
+    'fixed' alternative to the reference quirk (selectable via config).
+    Accepts (B, K, d) negatives (pairwise term averages over K)."""
+    sq = emb_users**2 + emb_pos_items**2 + _mean_over_negs(emb_neg_items**2)
     reg_loss = bpr_coeff * _masked_mean(sq, mask)
-    pos = jnp.sum(emb_users_final * emb_pos_items_final, axis=1)
-    neg = jnp.sum(emb_users_final * emb_neg_items_final, axis=1)
-    return _masked_mean(jax.nn.softplus(neg - pos), mask) + reg_loss
+    pos = jnp.sum(emb_users_final * emb_pos_items_final, axis=-1)
+    if emb_neg_items_final.ndim == 3:
+        neg = jnp.sum(emb_users_final[:, None, :] * emb_neg_items_final, axis=-1)
+        pair = jnp.mean(jax.nn.softplus(neg - pos[:, None]), axis=1)
+    else:
+        neg = jnp.sum(emb_users_final * emb_neg_items_final, axis=-1)
+        pair = jax.nn.softplus(neg - pos)
+    return _masked_mean(pair, mask) + reg_loss
 
 
 def select_bpr_loss(name: str):

@@ -52,9 +52,14 @@ def triplets_from_edges(
     return TripletBatch(jnp.asarray(users), jnp.asarray(pos), jnp.asarray(mask))
 
 
-def sample_negative(key: jax.Array, batch: int, num_items: int) -> jax.Array:
-    """Uniform negatives over the item catalog (helpers.py:79-80)."""
-    return jax.random.randint(key, (batch,), 0, num_items, dtype=jnp.int32)
+def sample_negative(key: jax.Array, batch: int, num_items: int,
+                    num: int = 1) -> jax.Array:
+    """Uniform negatives over the item catalog (helpers.py:79-80).
+
+    ``num > 1`` draws K negatives per positive — shape (batch, num) — for the
+    multi-negative BPR extension (ops/bpr.py accepts both shapes)."""
+    shape = (batch,) if num <= 1 else (batch, num)
+    return jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
 
 
 def cantor_hash_pair(x: jax.Array, y: jax.Array) -> jax.Array:

@@ -133,7 +133,8 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
 
         def body(st: TrainState, x):
             uu, pp, mm, k = x
-            neg = sample_negative(k, batch, st.params.item_emb.shape[0])
+            neg = sample_negative(k, batch, st.params.item_emb.shape[0],
+                                  cfg.train.num_negatives)
             tb = TripletBatch(user=uu, pos_item=pp, mask=mm)
             loss, grads = jax.value_and_grad(compute_loss)(
                 st.params, hybrid, tb, neg, cfg, spmm)

@@ -80,11 +80,11 @@ def compute_embeddings(
     u_cat = jnp.concatenate([users_final, params.user_emb], axis=1)[batch.user]
     i_cat = jnp.concatenate([items_final, params.item_emb], axis=1)
     p_cat = i_cat[batch.pos_item]
-    n_cat = i_cat[neg_item]
+    n_cat = i_cat[neg_item]          # (B, 2d) or (B, K, 2d) for multi-negative
     return (
         u_cat[:, :d], u_cat[:, d:],
         p_cat[:, :d], p_cat[:, d:],
-        n_cat[:, :d], n_cat[:, d:],
+        n_cat[..., :d], n_cat[..., d:],
     )
 
 
@@ -113,7 +113,8 @@ def make_train_step(cfg: Config, spmm: Callable = spmm_segment):
     def train_step(state: TrainState, graph: DeviceCOO, batch: TripletBatch,
                    key: jax.Array) -> Tuple[TrainState, jax.Array]:
         num_items = state.params.item_emb.shape[0]
-        neg = sample_negative(key, batch.user.shape[0], num_items)
+        neg = sample_negative(key, batch.user.shape[0], num_items,
+                              cfg.train.num_negatives)
         loss, grads = jax.value_and_grad(compute_loss)(
             state.params, graph, batch, neg, cfg, spmm
         )
@@ -237,7 +238,8 @@ def make_epoch_fn(cfg: Config, spmm: Callable = spmm_segment):
             src, dst, w, user, pos, mask, ecount, nk = x
             graph = DeviceCOO(src, dst, w, num_nodes=stacked.num_nodes)
             batch = TripletBatch(user, pos, mask)
-            neg = sample_negative(nk, user.shape[0], num_items)
+            neg = sample_negative(nk, user.shape[0], num_items,
+                                  cfg.train.num_negatives)
             loss, grads = jax.value_and_grad(compute_loss)(
                 st.params, graph, batch, neg, cfg, spmm)
             updates, opt_state = opt.update(grads, st.opt_state, st.params)
