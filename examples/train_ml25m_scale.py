@@ -61,6 +61,7 @@ def main():
                     help="split/init/sampling seed (variance studies)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    print("argv:", " ".join(sys.argv[1:]))  # run provenance in the log
 
     cfg = Config(
         data=DataConfig(dataset="synthetic",
@@ -94,7 +95,9 @@ def main():
         if (epoch + 1) % args.eval_every == 0 or epoch == cfg.train.epochs - 1:
             r, n = evaluate_full_ranking(state_holder[0].params, train_e, val_e,
                                          data.num_users, k=10,
-                                         max_users=args.eval_users)
+                                         max_users=args.eval_users,
+                                         use_propagated=args.eval_propagated,
+                                         cfg=cfg)
             print(f"  full-ranking val Recall@10 {r:.4f} NDCG@10 {n:.4f}")
             logger.log(epoch, val_full_recall10=r, val_full_ndcg10=n)
 
@@ -112,7 +115,7 @@ def main():
 
     state, hist = train_model(cfg, state, clusters, val, test,
                               save_checkpoint=save_cb,
-                              on_epoch_end=lambda e, m: None,
+                              on_epoch_end=epoch_cb,
                               metrics_logger=logger)
     state_holder[0] = state
 

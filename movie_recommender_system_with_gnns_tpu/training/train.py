@@ -375,7 +375,9 @@ def train_model(
             if save_checkpoint is not None:
                 save_checkpoint(state, val_recall)
         if on_epoch_end is not None:
-            on_epoch_end(epoch, {k: v[-1] for k, v in hist.items()})
+            m = {k: v[-1] for k, v in hist.items()}
+            m["_state"] = state  # live state for callers that eval mid-run
+            on_epoch_end(epoch, m)
 
     key, tk = jax.random.split(key)
     test_loss, test_recall = eval_step(state.params, test[0], test[1], tk)
