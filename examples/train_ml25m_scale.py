@@ -52,6 +52,8 @@ def main():
                     choices=["compact", "full", "fullgraph"])
     ap.add_argument("--fullgraph-steps", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--num-negatives", type=int, default=1)
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
@@ -69,7 +71,7 @@ def main():
                         synthetic_interactions=18_000_000,
                         synthetic_communities=200, synthetic_power=0.9,
                         indexes_dir=os.path.join(args.out, "indexes")),
-        model=ModelConfig(num_layers=3, dim=64, readout=args.readout),
+        model=ModelConfig(num_layers=args.layers, dim=args.dim, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
                           lr=args.lr,
                           partitioner=args.partitioner, fused_bpr=args.fused_bpr,
