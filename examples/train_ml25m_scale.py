@@ -93,9 +93,13 @@ def main():
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     state = create_train_state(cfg, data.num_users, data.num_items)
 
-    def on_epoch_end(epoch, metrics):
+    def save_cb(st, recall):
+        save_params(cfg.train.checkpoint_path, st.params,
+                    meta={"val_recall": recall})
+
+    def epoch_cb(epoch, metrics, live_state):
         if (epoch + 1) % args.eval_every == 0 or epoch == cfg.train.epochs - 1:
-            r, n = evaluate_full_ranking(state_holder[0].params, train_e, val_e,
+            r, n = evaluate_full_ranking(live_state.params, train_e, val_e,
                                          data.num_users, k=10,
                                          max_users=args.eval_users,
                                          use_propagated=args.eval_propagated,
@@ -103,23 +107,10 @@ def main():
             print(f"  full-ranking val Recall@10 {r:.4f} NDCG@10 {n:.4f}")
             logger.log(epoch, val_full_recall10=r, val_full_ndcg10=n)
 
-    # train_model mutates no state visible here; track via callback closure
-    state_holder = [state]
-
-    def save_cb(st, recall):
-        state_holder[0] = st
-        save_params(cfg.train.checkpoint_path, st.params,
-                    meta={"val_recall": recall})
-
-    def epoch_cb(epoch, metrics):
-        state_holder[0] = metrics.pop("_state", state_holder[0])
-        on_epoch_end(epoch, metrics)
-
     state, hist = train_model(cfg, state, clusters, val, test,
                               save_checkpoint=save_cb,
                               on_epoch_end=epoch_cb,
                               metrics_logger=logger)
-    state_holder[0] = state
 
     # final quality numbers
     r10, n10 = evaluate_full_ranking(state.params, train_e, test_e,

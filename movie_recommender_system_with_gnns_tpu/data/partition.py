@@ -30,6 +30,22 @@ from typing import List, Tuple
 import numpy as np
 
 
+def forward_half(edge_index: np.ndarray, num_users: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the user→item half of a doubled undirected edge_index.
+
+    Returns ``(u, it)`` int64 arrays with item ids shifted back to item space
+    (the reference's node-id convention offsets items by num_users,
+    dataset_handler.py:115-118). Factored out so partitioners and trainers
+    share ONE O(E) pass instead of recomputing it per consumer.
+    """
+    head, tail = edge_index[0], edge_index[1]
+    fwd = (head < num_users) & (tail >= num_users)
+    u = head[fwd].astype(np.int64)
+    it = (tail[fwd] - num_users).astype(np.int64)
+    return u, it
+
+
 def partition_bipartite_greedy(
     edge_index: np.ndarray,
     num_users: int,
@@ -50,13 +66,10 @@ def partition_bipartite_greedy(
     intra-cluster edge count at tol× the mean (the per-step padded triplet
     width is set by the LARGEST part, so balance buys epoch time directly).
     """
+    u, it = forward_half(edge_index, num_users)
     part_of_user, part_of_item = partition_assignments(
         edge_index, num_users, num_nodes, num_parts, seed=seed,
-        balance_tol=balance_tol)
-    head, tail = edge_index[0], edge_index[1]
-    fwd = (head < num_users) & (tail >= num_users)
-    u = head[fwd].astype(np.int64)
-    it = (tail[fwd] - num_users).astype(np.int64)
+        balance_tol=balance_tol, uv=(u, it))
     ep = part_of_user[u]
     keep = ep == part_of_item[it]
     u_k, it_k, p_k = u[keep], it[keep], ep[keep]
@@ -77,16 +90,15 @@ def partition_assignments(
     num_parts: int,
     seed: int = 0,
     balance_tol: float = 0.0,
+    uv: Tuple[np.ndarray, np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Node→part assignments (part_of_user, part_of_item) — the raw output of
     the greedy partitioner, exposed for consumers that need the node partition
     itself (e.g. hybrid block-diagonal propagation) rather than kept-edge
-    subgraphs."""
-    head, tail = edge_index[0], edge_index[1]
+    subgraphs. ``uv`` optionally supplies a precomputed :func:`forward_half`
+    result to avoid a second O(E) pass."""
     # operate on the user→item half; mirror at the end
-    fwd = (head < num_users) & (tail >= num_users)
-    u = head[fwd].astype(np.int64)
-    it = (tail[fwd] - num_users).astype(np.int64)
+    u, it = uv if uv is not None else forward_half(edge_index, num_users)
     num_items = num_nodes - num_users
 
     from . import native

@@ -67,12 +67,21 @@ def build_fullgraph_data(
     num_nodes: int,
 ) -> FullGraphTrainData:
     """Host-side build: node partition → hybrid adjacency → padded positives."""
-    from ..data.partition import partition_assignments
+    from ..data.partition import forward_half, partition_assignments
 
+    if cfg.train.partitioner != "greedy":
+        import warnings
+
+        warnings.warn(
+            f"fullgraph trainer ignores partitioner={cfg.train.partitioner!r}: "
+            "hybrid block-diagonal propagation always uses the greedy NODE "
+            "partition (every edge is retained regardless)", stacklevel=2)
     num_parts = cfg.train.hybrid_parts or cfg.train.num_clusters
+    uv = forward_half(train_edge_index, num_users)
     part_of_user, part_of_item = partition_assignments(
         train_edge_index, num_users, num_nodes, num_parts,
         seed=cfg.data.split_seed, balance_tol=cfg.train.partition_balance_tol,
+        uv=uv,
     )
     node_part = np.concatenate([part_of_user, part_of_item])
     # dense Â blocks ride the MXU: bf16 operands are its native precision with
@@ -85,19 +94,20 @@ def build_fullgraph_data(
         max_block_nodes=cfg.train.dense_adjacency_max_nodes,
     )
 
-    head, tail = train_edge_index[0], train_edge_index[1]
-    fwd = (head < num_users) & (tail >= num_users)
-    users = head[fwd].astype(np.int32)
-    pos = (tail[fwd] - num_users).astype(np.int32)
+    users = uv[0].astype(np.int32)
+    pos = uv[1].astype(np.int32)
     e_real = int(users.shape[0])
 
+    # explicit batch_size wins over the steps knob; both paths lane-align the
+    # static width, then RE-derive the step count from the aligned batch so no
+    # scan step is all-padding (a zero-grad Adam step still moves params via
+    # decaying moments, and each step pays a full-graph propagation)
     if cfg.train.batch_size:
         batch = int(cfg.train.batch_size)
-        num_steps = max(1, -(-e_real // batch))
     else:
-        num_steps = max(1, cfg.train.fullgraph_steps)
-        batch = -(-e_real // num_steps)
-        batch = ((batch + 1023) // 1024) * 1024  # lane-aligned static width
+        batch = -(-e_real // max(1, cfg.train.fullgraph_steps))
+    batch = ((batch + 1023) // 1024) * 1024  # lane-aligned static width
+    num_steps = max(1, -(-e_real // batch))
     e_pad = num_steps * batch
     users = np.concatenate([users, np.zeros(e_pad - e_real, np.int32)])
     pos = np.concatenate([pos, np.zeros(e_pad - e_real, np.int32)])

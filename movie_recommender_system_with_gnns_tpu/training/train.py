@@ -294,6 +294,25 @@ def build_eval_batch(edge_index: np.ndarray, num_nodes: int, num_users: int
 # ---------------------------------------------------------------------------
 
 
+def _callback_takes_state(cb: Callable) -> bool:
+    """True if ``cb`` can accept a third positional arg (the live TrainState).
+
+    Keeps the ``(epoch, metrics)`` callback contract intact: metrics stays a
+    pure Dict[str, float]; callers that want mid-run state opt in by declaring
+    a third parameter.
+    """
+    import inspect
+
+    try:
+        params = list(inspect.signature(cb).parameters.values())
+    except (TypeError, ValueError):
+        return False
+    positional = [p for p in params
+                  if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    has_varargs = any(p.kind == p.VAR_POSITIONAL for p in params)
+    return has_varargs or len(positional) >= 3
+
+
 def train_model(
     cfg: Config,
     state: TrainState,
@@ -301,7 +320,7 @@ def train_model(
     val: Tuple[DeviceCOO, TripletBatch],
     test: Tuple[DeviceCOO, TripletBatch],
     spmm: Callable = spmm_segment,
-    on_epoch_end: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    on_epoch_end: Optional[Callable] = None,  # (epoch, metrics[, state]) -> None
     save_checkpoint: Optional[Callable[[TrainState, float], None]] = None,
     metrics_logger=None,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
@@ -376,8 +395,10 @@ def train_model(
                 save_checkpoint(state, val_recall)
         if on_epoch_end is not None:
             m = {k: v[-1] for k, v in hist.items()}
-            m["_state"] = state  # live state for callers that eval mid-run
-            on_epoch_end(epoch, m)
+            if _callback_takes_state(on_epoch_end):
+                on_epoch_end(epoch, m, state)  # live state for mid-run eval
+            else:
+                on_epoch_end(epoch, m)
 
     key, tk = jax.random.split(key)
     test_loss, test_recall = eval_step(state.params, test[0], test[1], tk)

@@ -106,7 +106,12 @@ def test_fullgraph_trainer_end_to_end():
     )
     data, train_obj, val, test = prepare_training_data(cfg)
     assert isinstance(train_obj, FullGraphTrainData)
-    assert train_obj.num_steps == 3
+    # steps derive from the lane-aligned batch: ceil(e_real/batch), never more
+    # than requested, and NO step may be entirely padding (ghost Adam updates)
+    assert train_obj.batch % 1024 == 0
+    assert train_obj.num_steps == -(-train_obj.e_real // train_obj.batch)
+    assert train_obj.num_steps <= 3
+    assert (train_obj.num_steps - 1) * train_obj.batch < train_obj.e_real
     assert train_obj.user.shape[0] == train_obj.num_steps * train_obj.batch
 
     state = create_train_state(cfg, data.num_users, data.num_items)
