@@ -61,6 +61,10 @@ def main():
                     help="kept-edge balance cap (tol x mean; 0 = off)")
     ap.add_argument("--seed", type=int, default=0,
                     help="split/init/sampling seed (variance studies)")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"])
+    ap.add_argument("--lr-warmup-epochs", type=float, default=0.0,
+                    help="warmup length in epochs (cosine schedule only)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     print("argv:", " ".join(sys.argv[1:]))  # run provenance in the log
@@ -89,6 +93,23 @@ def main():
     train_e, val_e, test_e = bundle.splits
     print(f"data ready in {time.time()-t0:.0f}s: {data.num_users} users, "
           f"{data.num_items} items, {data.edge_index.shape[1]} edges")
+
+    if args.lr_schedule == "cosine":
+        from dataclasses import replace
+
+        from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
+            FullGraphTrainData,
+        )
+
+        steps_per_epoch = (clusters.num_steps
+                           if isinstance(clusters, FullGraphTrainData)
+                           else cfg.train.num_clusters)
+        cfg = replace(cfg, train=replace(
+            cfg.train, lr_schedule="cosine",
+            lr_total_steps=steps_per_epoch * cfg.train.epochs,
+            lr_warmup_steps=int(args.lr_warmup_epochs * steps_per_epoch)))
+        print(f"cosine lr: {cfg.train.lr_total_steps} total steps, "
+              f"{cfg.train.lr_warmup_steps} warmup")
 
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     state = create_train_state(cfg, data.num_users, data.num_items)

@@ -65,6 +65,15 @@ class TrainConfig:
 
     epochs: int = 3                   # train_test.py:287
     lr: float = 1e-3                  # train_test.py:216
+    # learning-rate schedule: "constant" (the reference's fixed Adam lr) or
+    # "cosine" — linear warmup over lr_warmup_steps then cosine decay from lr
+    # to lr*lr_final_frac across lr_total_steps optimizer updates. Drivers set
+    # lr_total_steps once the per-epoch step count is known (e.g.
+    # steps_per_epoch * epochs); leaving it 0 with "cosine" is an error.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_total_steps: int = 0
+    lr_final_frac: float = 0.0
     bpr_coeff: float = 5e-3           # train_test.py:21
     # "reference" keeps the quirky cosine-softplus loss with its negative sign
     # (train_test.py:18-51); "standard" is textbook BPR (-log sigmoid margin)

@@ -43,11 +43,31 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """clip-by-global-norm(1.0) → Adam, matching train_test.py:95,:236."""
+    """clip-by-global-norm(1.0) → Adam, matching train_test.py:95,:236.
+
+    ``lr_schedule="cosine"`` swaps the reference's fixed lr for linear warmup
+    + cosine decay (see TrainConfig). Note the optimizer-state pytree gains a
+    schedule-count leaf under "cosine", so full train-state checkpoints are
+    only resumable under the same schedule setting.
+    """
+    tc = cfg.train
+    if tc.lr_schedule == "constant":
+        lr = tc.lr
+    elif tc.lr_schedule == "cosine":
+        if tc.lr_total_steps <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' needs lr_total_steps > 0 "
+                "(set it to steps_per_epoch * epochs)")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if tc.lr_warmup_steps > 0 else tc.lr,
+            peak_value=tc.lr, warmup_steps=tc.lr_warmup_steps,
+            decay_steps=tc.lr_total_steps,
+            end_value=tc.lr * tc.lr_final_frac)
+    else:
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
     return optax.chain(
-        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
-        optax.adam(cfg.train.lr, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
-                   eps=cfg.train.adam_eps),
+        optax.clip_by_global_norm(tc.grad_clip_norm),
+        optax.adam(lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps),
     )
 
 

@@ -183,3 +183,38 @@ def test_determinism_same_seed_same_params(tmp_path):
                                   np.asarray(r2.params.user_emb))
     np.testing.assert_array_equal(np.asarray(r1.params.item_emb),
                                   np.asarray(r2.params.item_emb))
+
+
+def test_cosine_lr_schedule(tmp_path):
+    """lr_schedule="cosine": update magnitude decays toward lr*final_frac, and
+    the end-to-end driver runs with it; lr_total_steps=0 is rejected."""
+    import jax.numpy as jnp
+    import optax
+    import pytest
+
+    from movie_recommender_system_with_gnns_tpu.training.train import make_optimizer
+
+    cfg = small_cfg(tmp_path, lr_schedule="cosine", lr_total_steps=20,
+                    lr_warmup_steps=2, lr_final_frac=0.0, resume=False)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    st = opt.init(params)
+    grads = {"w": jnp.full((4,), 0.1)}
+    mags = []
+    for _ in range(20):
+        upd, st = opt.update(grads, st, params)
+        mags.append(float(jnp.abs(upd["w"]).max()))
+    assert mags[1] > mags[-1]           # decayed
+    assert mags[0] < mags[1] or cfg.train.lr_warmup_steps == 0  # warmup ramps
+    assert mags[-1] < 0.2 * max(mags)   # near the 0.0 end value
+
+    with pytest.raises(ValueError, match="lr_total_steps"):
+        make_optimizer(small_cfg(tmp_path, lr_schedule="cosine"))
+
+    # end-to-end: the driver trains under the schedule (fullgraph trainer)
+    cfg2 = small_cfg(tmp_path, trainer="fullgraph", fullgraph_steps=2,
+                     lr_schedule="cosine", lr_total_steps=8, resume=False)
+    data, fg, val, test = prepare_training_data(cfg2)
+    state = create_train_state(cfg2, data.num_users, data.num_items)
+    state, hist = train_model(cfg2, state, fg, val, test)
+    assert np.isfinite(hist["train_loss"]).all()
