@@ -118,6 +118,13 @@ def main():
         save_params(cfg.train.checkpoint_path, st.params,
                     meta={"val_recall": recall})
 
+    # model selection on the STANDARD metric: keep the params whose periodic
+    # full-ranking val recall@10 is best (the driver's own best-checkpoint
+    # tracks the reference's sampled MC recall instead — a different, noisier
+    # criterion), then report test at both the final state and that checkpoint
+    best_fullrank = {"r": -1.0, "epoch": -1}
+    best_fullrank_path = os.path.join(args.out, "best_fullrank.npz")
+
     def epoch_cb(epoch, metrics, live_state):
         if (epoch + 1) % args.eval_every == 0 or epoch == cfg.train.epochs - 1:
             r, n = evaluate_full_ranking(live_state.params, train_e, val_e,
@@ -127,6 +134,10 @@ def main():
                                          cfg=cfg)
             print(f"  full-ranking val Recall@10 {r:.4f} NDCG@10 {n:.4f}")
             logger.log(epoch, val_full_recall10=r, val_full_ndcg10=n)
+            if r > best_fullrank["r"]:
+                best_fullrank.update(r=r, epoch=epoch)
+                save_params(best_fullrank_path, live_state.params,
+                            meta={"val_full_recall10": r, "epoch": epoch})
 
     state, hist = train_model(cfg, state, clusters, val, test,
                               save_checkpoint=save_cb,
@@ -140,6 +151,17 @@ def main():
     print(f"TEST full-ranking Recall@10 {r10:.4f} NDCG@10 {n10:.4f} "
           f"(propagated={args.eval_propagated})")
     logger.log(cfg.train.epochs, test_full_recall10=r10, test_full_ndcg10=n10)
+    if best_fullrank["epoch"] >= 0 and best_fullrank["epoch"] < cfg.train.epochs - 1:
+        from movie_recommender_system_with_gnns_tpu.training.checkpoint import load_params
+
+        bp, _ = load_params(best_fullrank_path)
+        br, bn = evaluate_full_ranking(bp, train_e, test_e, data.num_users,
+                                       k=10, max_users=args.eval_users,
+                                       use_propagated=args.eval_propagated, cfg=cfg)
+        print(f"TEST @ best-val epoch {best_fullrank['epoch']}: "
+              f"Recall@10 {br:.4f} NDCG@10 {bn:.4f}")
+        logger.log(cfg.train.epochs, test_bestval_recall10=br,
+                   test_bestval_ndcg10=bn, bestval_epoch=best_fullrank["epoch"])
 
     save_histories(hist, args.out)
     try:
