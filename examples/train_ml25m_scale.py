@@ -65,6 +65,10 @@ def main():
                     choices=["constant", "cosine"])
     ap.add_argument("--lr-warmup-epochs", type=float, default=0.0,
                     help="warmup length in epochs (cosine schedule only)")
+    ap.add_argument("--split", default="edge", choices=["edge", "interaction"],
+                    help="edge = reference-parity split of the doubled edge "
+                         "list (mirror copies leak into train propagation); "
+                         "interaction = leakage-free unique-pair split")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     print("argv:", " ".join(sys.argv[1:]))  # run provenance in the log
@@ -74,6 +78,7 @@ def main():
                         synthetic_users=162_541, synthetic_items=59_047,
                         synthetic_interactions=18_000_000,
                         synthetic_communities=200, synthetic_power=0.9,
+                        split_level=args.split,
                         indexes_dir=os.path.join(args.out, "indexes")),
         model=ModelConfig(num_layers=args.layers, dim=args.dim, readout=args.readout),
         train=TrainConfig(epochs=args.epochs, num_clusters=100, loss=args.loss,
@@ -111,6 +116,12 @@ def main():
         print(f"cosine lr: {cfg.train.lr_total_steps} total steps, "
               f"{cfg.train.lr_warmup_steps} warmup")
 
+    # standard loss optimizes raw inner products -> evaluate with dot scores;
+    # reference loss/serving contract is cosine
+    eval_normalize = args.loss != "standard"
+    print(f"eval scoring: {'cosine' if eval_normalize else 'dot'}, "
+          f"split={args.split}")
+
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     state = create_train_state(cfg, data.num_users, data.num_items)
 
@@ -131,7 +142,7 @@ def main():
                                          data.num_users, k=10,
                                          max_users=args.eval_users,
                                          use_propagated=args.eval_propagated,
-                                         cfg=cfg)
+                                         normalize=eval_normalize, cfg=cfg)
             print(f"  full-ranking val Recall@10 {r:.4f} NDCG@10 {n:.4f}")
             logger.log(epoch, val_full_recall10=r, val_full_ndcg10=n)
             if r > best_fullrank["r"]:
@@ -147,7 +158,8 @@ def main():
     # final quality numbers
     r10, n10 = evaluate_full_ranking(state.params, train_e, test_e,
                                      data.num_users, k=10, max_users=args.eval_users,
-                                     use_propagated=args.eval_propagated, cfg=cfg)
+                                     use_propagated=args.eval_propagated,
+                                     normalize=eval_normalize, cfg=cfg)
     print(f"TEST full-ranking Recall@10 {r10:.4f} NDCG@10 {n10:.4f} "
           f"(propagated={args.eval_propagated})")
     logger.log(cfg.train.epochs, test_full_recall10=r10, test_full_ndcg10=n10)
@@ -157,7 +169,8 @@ def main():
         bp, _ = load_params(best_fullrank_path)
         br, bn = evaluate_full_ranking(bp, train_e, test_e, data.num_users,
                                        k=10, max_users=args.eval_users,
-                                       use_propagated=args.eval_propagated, cfg=cfg)
+                                       use_propagated=args.eval_propagated,
+                                       normalize=eval_normalize, cfg=cfg)
         print(f"TEST @ best-val epoch {best_fullrank['epoch']}: "
               f"Recall@10 {br:.4f} NDCG@10 {bn:.4f}")
         logger.log(cfg.train.epochs, test_bestval_recall10=br,

@@ -37,6 +37,15 @@ class DataConfig:
     train_size: float = 0.9           # dataset_handler.py:144
     val_test_ratio: float = 0.5       # dataset_handler.py:168
     split_seed: int = 0
+    # "edge" reproduces the reference exactly: the 90/5/5 split permutes the
+    # direction-DOUBLED edge list (dataset_handler.py:167-168), so ~train_size
+    # of held-out (u,i) pairs keep their mirrored (i,u) copy inside the train
+    # graph — fine for parity, but it leaks held-out interactions into
+    # propagation and makes the train graph asymmetric (weakening the
+    # symmetric-Â VJP assumption). "interaction" splits unique (u,i) PAIRS and
+    # doubles each split afterward: leakage-free standard metrics, exactly
+    # symmetric train graph. Use it for quality (non-parity) runs.
+    split_level: str = "edge"
     # synthetic-dataset knobs (used when no network egress / tests)
     synthetic_users: int = 1000
     synthetic_items: int = 1700

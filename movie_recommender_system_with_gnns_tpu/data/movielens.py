@@ -296,6 +296,7 @@ def split_edges(
     train_size: float = 0.9,
     val_test_ratio: float = 0.5,
     seed: int = 0,
+    split_level: str = "edge",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """90/5/5 edge-level split with persisted val/test indices.
 
@@ -304,7 +305,18 @@ def split_edges(
     train = setdiff (dataset_handler.py:221-233), including the strictly-sorted
     assertion from the reference.
     Returns (train_edges, val_edges, test_edges), each int32 (2, E_split).
+
+    ``split_level="edge"`` (default) is exact reference parity: DIRECTED edges
+    of the doubled graph are split independently, so a held-out (u,i) usually
+    keeps its (i,u) mirror in train (see DataConfig.split_level for why that
+    leaks). ``"interaction"`` splits unique unordered pairs and then doubles
+    each split — leakage-free, symmetric train graph.
     """
+    if split_level == "interaction":
+        return _split_interactions(data, indexes_dir, train_size,
+                                   val_test_ratio, seed)
+    if split_level != "edge":
+        raise ValueError(f"unknown split_level {split_level!r}")
     num_edges = data.edge_index.shape[1]
     val_file = os.path.join(indexes_dir, "val_indices.npy")
     test_file = os.path.join(indexes_dir, "test_indices.npy")
@@ -335,4 +347,56 @@ def split_edges(
         ei[:, train_idx].astype(np.int32),
         ei[:, val_idx].astype(np.int32),
         ei[:, test_idx].astype(np.int32),
+    )
+
+
+def _double(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Directed (2, 2P) edge array holding both directions of P pairs."""
+    return np.stack([np.concatenate([u, v]),
+                     np.concatenate([v, u])]).astype(np.int32)
+
+
+def _split_interactions(
+    data: MovieLensData,
+    indexes_dir: str,
+    train_size: float,
+    val_test_ratio: float,
+    seed: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Interaction-level 90/5/5: split unique (user, item) PAIRS, then emit
+    each split direction-doubled. No held-out interaction appears in the train
+    graph in either direction, and the train graph is exactly symmetric (the
+    premise of the fullgraph trainer's symmetric-Â VJP, ops/spmm.py).
+
+    Persists ``{val,test}_pair_indices.npy`` (indices into the canonical
+    forward-pair list) alongside the reference-format files, same
+    reload-derives-train contract as the edge-level split.
+    """
+    head, tail = data.edge_index[0], data.edge_index[1]
+    fwd = (head < data.num_users) & (tail >= data.num_users)
+    u, v = head[fwd].astype(np.int64), tail[fwd].astype(np.int64)
+    num_pairs = u.shape[0]
+    val_file = os.path.join(indexes_dir, "val_pair_indices.npy")
+    test_file = os.path.join(indexes_dir, "test_pair_indices.npy")
+
+    if not (os.path.exists(val_file) and os.path.exists(test_file)):
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(num_pairs)
+        n_train = int(round(train_size * num_pairs))
+        rest = perm[n_train:]
+        n_val = int(round(val_test_ratio * len(rest)))
+        val_idx = np.sort(rest[:n_val])
+        test_idx = np.sort(rest[n_val:])
+        os.makedirs(indexes_dir, exist_ok=True)
+        np.save(val_file, val_idx)
+        np.save(test_file, test_idx)
+    else:
+        val_idx = np.sort(np.load(val_file))
+        test_idx = np.sort(np.load(test_file))
+    train_idx = np.setdiff1d(np.arange(num_pairs),
+                             np.concatenate([val_idx, test_idx]))
+    return (
+        _double(u[train_idx], v[train_idx]),
+        _double(u[val_idx], v[val_idx]),
+        _double(u[test_idx], v[test_idx]),
     )

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
+_LOAD_FAILED = False  # memo a failed build/load so we don't re-spawn make per call
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native", "libgraphcore.so",
@@ -36,12 +37,15 @@ def _try_build() -> None:
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _LIB
+    global _LIB, _LOAD_FAILED
     if _LIB is not None:
         return _LIB
+    if _LOAD_FAILED:
+        return None
     if not os.path.exists(_LIB_PATH):
         _try_build()
     if not os.path.exists(_LIB_PATH):
+        _LOAD_FAILED = True
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -50,11 +50,25 @@ def compute_serving_tables(
         raise ValueError("propagated serving needs train_edges + cfg")
     from ..data.graph import COOGraph
     from ..models.lightgcn import propagate
-    from ..ops.spmm import DeviceCOO, spmm_segment
+    from ..ops.spmm import DeviceCOO, make_spmm_chunked, spmm_segment
 
     n = params.user_emb.shape[0] + params.item_emb.shape[0]
-    graph = DeviceCOO.from_host(COOGraph.build(train_edges, n))
-    fu, fi = propagate(params, graph, spmm_segment, cfg.model.num_layers,
+    d = params.user_emb.shape[1]
+    e = train_edges.shape[1]
+    # the plain segment path gathers an (E, d) message tensor; chunk it when
+    # that exceeds ~2 GB so ML-25M-scale propagation fits beside a live
+    # training state (E≈11M, d=256 → 11.4 GB unchunked)
+    chunks = max(1, int(np.ceil(e * d * 4 / (2 << 30))))
+    if chunks > 1:
+        per = -(-e // chunks)
+        per = ((per + 127) // 128) * 128
+        graph = DeviceCOO.from_host(COOGraph.build(train_edges, n,
+                                                   pad_to=per * chunks))
+        spmm = make_spmm_chunked(chunks)
+    else:
+        graph = DeviceCOO.from_host(COOGraph.build(train_edges, n))
+        spmm = spmm_segment
+    fu, fi = propagate(params, graph, spmm, cfg.model.num_layers,
                        cfg.model.readout)
     return LightGCNParams(fu, fi)
 
@@ -75,18 +89,23 @@ def recommend_from_user(
     data: MovieLensData,
     excluded_train_items: Optional[Sequence[int]] = None,
     top_k: int = 10,
+    normalize: bool = True,
 ) -> Dict[str, Union[str, List[Dict[str, Any]]]]:
     """Top-k movies for a raw userId (reference recommend_from_user, :12-63).
 
     ``data`` accepts either a MovieLensData or the reference-API
-    MovieLensDataHandler (data/handler.py)."""
+    MovieLensDataHandler (data/handler.py). ``normalize=True`` scores by
+    cosine (the reference's layer-0 contract, recommend.py:39-42); pass False
+    to rank by raw inner products — the objective a ``loss="standard"`` model
+    actually optimizes, the right setting with propagated tables."""
     data = getattr(data, "data", data)
     uidx = int(data.user_index(user_id))
     if uidx < 0:
         return {"error": "Invalid user ID"}
     query = params.user_emb[uidx][None, :]
     mask = _exclusion_mask(params.item_emb.shape[0], excluded_train_items)
-    scores, idx = mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask)
+    scores, idx = mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask,
+                            normalize=normalize)
     scores, idx = np.asarray(scores[0]), np.asarray(idx[0])
     recs = []
     for s, i in zip(scores, idx):
@@ -101,6 +120,7 @@ def recommend_from_movie(
     data: MovieLensData,
     excluded_train_users: Optional[Sequence[int]] = None,
     top_k: int = 10,
+    normalize: bool = True,
 ) -> Dict[str, Union[str, List[Dict[str, Any]]]]:
     """Top-k users for a raw movieId (reference recommend_from_movie, :65-113)."""
     data = getattr(data, "data", data)
@@ -110,7 +130,8 @@ def recommend_from_movie(
     iidx = node - data.num_users  # reference adjusts the offset at :87
     query = params.item_emb[iidx][None, :]
     mask = _exclusion_mask(params.user_emb.shape[0], excluded_train_users)
-    scores, idx = mips_topk(query, params.user_emb, k=top_k, exclude_mask=mask)
+    scores, idx = mips_topk(query, params.user_emb, k=top_k, exclude_mask=mask,
+                            normalize=normalize)
     scores, idx = np.asarray(scores[0]), np.asarray(idx[0])
     users = [
         {"user_id": int(data.raw_user_id(int(i))), "score": float(s)}
@@ -133,10 +154,12 @@ def batch_recommend_users(
     user_indices: np.ndarray,
     exclude_mask: Optional[np.ndarray] = None,   # (B, num_items) bool
     top_k: int = 10,
+    normalize: bool = True,
 ):
     """Batched retrieval for many users at once — the production serving shape
     the reference lacks (it scores one user per call). Returns (scores, item
     indices), both (B, k)."""
     query = params.user_emb[jnp.asarray(user_indices)]
     mask = jnp.asarray(exclude_mask) if exclude_mask is not None else None
-    return mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask)
+    return mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask,
+                     normalize=normalize)

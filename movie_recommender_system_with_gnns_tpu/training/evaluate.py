@@ -22,9 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..models.lightgcn import LightGCNParams, propagate
+from ..models.lightgcn import LightGCNParams
 from ..ops.bpr import normalize_embedding
-from ..ops.spmm import DeviceCOO, spmm_segment
 
 
 def _np_group_by_user(edges: np.ndarray, num_users: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -50,18 +49,27 @@ def evaluate_full_ranking(
     use_propagated: bool = False,
     cfg: Optional[Config] = None,
     max_users: Optional[int] = None,
+    normalize: bool = True,
+    sample_seed: int = 0,
 ) -> Tuple[float, float]:
-    """Standard Recall@k and NDCG@k over users with ≥1 held-out edge."""
+    """Standard Recall@k and NDCG@k over users with ≥1 held-out edge.
+
+    ``normalize=True`` ranks by cosine (the reference's serving contract);
+    pass False to rank by raw inner products — the score a ``loss="standard"``
+    model optimizes, and the LightGCN-paper protocol for propagated tables
+    (norms carry popularity signal that cosine discards). ``max_users`` takes
+    a seeded uniform SAMPLE of eval users (not the first N, which would bias
+    toward low/most-active ids).
+    """
     num_items = params.item_emb.shape[0]
     if use_propagated:
         if cfg is None:
             raise ValueError("use_propagated=True requires cfg")
-        n = num_users + num_items
-        from ..data.graph import COOGraph
+        from ..serving.recommend import compute_serving_tables
 
-        graph = DeviceCOO.from_host(COOGraph.build(train_edges, n))
-        user_table, item_table = propagate(
-            params, graph, spmm_segment, cfg.model.num_layers, cfg.model.readout)
+        tables = compute_serving_tables(params, train_edges, cfg,
+                                        mode="propagated")
+        user_table, item_table = tables.user_emb, tables.item_emb
     else:
         user_table, item_table = params.user_emb, params.item_emb
 
@@ -70,9 +78,11 @@ def evaluate_full_ranking(
 
     eval_users = np.flatnonzero(np.diff(ev_ptr) > 0)
     if max_users is not None and eval_users.size > max_users:
-        eval_users = eval_users[:max_users]
+        rng = np.random.default_rng(sample_seed)
+        eval_users = np.sort(rng.choice(eval_users, size=max_users,
+                                        replace=False))
 
-    item_table_n = normalize_embedding(item_table)
+    item_table_n = normalize_embedding(item_table) if normalize else item_table
 
     total_recall, total_ndcg, total_cnt = 0.0, 0.0, 0
     discounts = 1.0 / np.log2(np.arange(2, k + 2))
@@ -80,10 +90,22 @@ def evaluate_full_ranking(
 
     @partial(jax.jit, static_argnames=())
     def score_topk(rows, seen):
-        q = normalize_embedding(rows)
+        q = normalize_embedding(rows) if normalize else rows
         s = q @ item_table_n.T
         s = jnp.where(seen, -1e30, s)
         return jax.lax.top_k(s, k)
+
+    def _batch_mask(batch, ptr, items):
+        """(B, num_items) bool membership mask, built vectorized (no row loop)."""
+        lens = (ptr[batch + 1] - ptr[batch]).astype(np.int64)
+        rows = np.repeat(np.arange(batch.size), lens)
+        starts = ptr[batch].astype(np.int64)
+        # positions into `items`: per-row contiguous ranges, flattened
+        pos = np.arange(lens.sum()) + np.repeat(
+            starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        m = np.zeros((batch.size, num_items), bool)
+        m[rows, items[pos]] = True
+        return m
 
     for s in range(0, eval_users.size, batch_users):
         batch = eval_users[s: s + batch_users]
@@ -91,11 +113,8 @@ def evaluate_full_ranking(
         if b < batch_users:  # pad to static shape
             batch = np.concatenate([batch, np.repeat(batch[-1:], batch_users - b)])
         rows = user_table[jnp.asarray(batch)]
-        seen = np.zeros((batch_users, num_items), bool)
-        rel = np.zeros((batch_users, num_items), bool)
-        for r, uid in enumerate(batch):
-            seen[r, tr_items[tr_ptr[uid]:tr_ptr[uid + 1]]] = True
-            rel[r, ev_items[ev_ptr[uid]:ev_ptr[uid + 1]]] = True
+        seen = _batch_mask(batch, tr_ptr, tr_items)
+        rel = _batch_mask(batch, ev_ptr, ev_items)
         _, topk = score_topk(rows, jnp.asarray(seen))
         topk = np.asarray(topk)[:b]
         hits = np.take_along_axis(rel[:b], topk, axis=1)

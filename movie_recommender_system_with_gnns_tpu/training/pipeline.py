@@ -95,6 +95,7 @@ def prepare_training_data(
     train_e, val_e, test_e = split_edges(
         data, cfg.data.indexes_dir, cfg.data.train_size,
         cfg.data.val_test_ratio, cfg.data.split_seed,
+        split_level=cfg.data.split_level,
     )
     num_nodes = data.num_users + data.num_items
 

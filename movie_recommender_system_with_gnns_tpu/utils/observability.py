@@ -35,7 +35,7 @@ class MetricsLogger:
             self._hist.setdefault(k, []).append(v)
         if self.path:
             with open(self.path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                f.write(json.dumps(rec, default=float) + "\n")
 
     def history(self, key: str) -> List[Any]:
         return list(self._hist.get(key, []))

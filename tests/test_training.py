@@ -218,3 +218,44 @@ def test_cosine_lr_schedule(tmp_path):
     state = create_train_state(cfg2, data.num_users, data.num_items)
     state, hist = train_model(cfg2, state, fg, val, test)
     assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_interaction_split_no_leakage(tmp_path):
+    """split_level="interaction": no held-out pair appears in the train graph
+    in either direction, the train graph is exactly symmetric, and the split
+    reloads identically. The default edge-level split (reference parity,
+    dataset_handler.py:167-168) is documented to leak mirrors — assert that
+    too so the distinction stays visible."""
+    from movie_recommender_system_with_gnns_tpu.data.movielens import (
+        make_synthetic_movielens, split_edges,
+    )
+
+    data = make_synthetic_movielens(80, 120, 3000, seed=3)
+    n = data.num_users + data.num_items
+
+    def pair_keys(e):
+        return set((int(a) * n + int(b)) for a, b in zip(e[0], e[1]))
+
+    d1 = str(tmp_path / "ia")
+    tr, va, te = split_edges(data, d1, split_level="interaction")
+    tr_k, va_k, te_k = pair_keys(tr), pair_keys(va), pair_keys(te)
+    assert not (tr_k & va_k) and not (tr_k & te_k) and not (va_k & te_k)
+    # symmetric: (a,b) in train <=> (b,a) in train
+    assert tr_k == set((kk % n) * n + kk // n for kk in tr_k)
+    # counts: each split holds both directions of its pairs
+    fwd = (data.edge_index[0] < data.num_users)
+    num_pairs = int(fwd.sum())
+    assert tr.shape[1] + va.shape[1] + te.shape[1] == 2 * num_pairs
+    # reload identical
+    tr2, va2, te2 = split_edges(data, d1, split_level="interaction")
+    np.testing.assert_array_equal(tr, tr2)
+    np.testing.assert_array_equal(te, te2)
+
+    # reference edge-level split leaks mirrors of held-out pairs into train
+    d2 = str(tmp_path / "edge")
+    tr_e, va_e, te_e = split_edges(data, d2, split_level="edge")
+    tr_ek = pair_keys(tr_e)
+    mirrors_in_train = sum(
+        1 for a, b in zip(te_e[0], te_e[1])
+        if (int(b) * n + int(a)) in tr_ek)
+    assert mirrors_in_train > 0
