@@ -33,6 +33,7 @@ def compute_serving_tables(
     train_edges: Optional[np.ndarray] = None,
     cfg=None,
     mode: str = "layer0",
+    chunk_budget_bytes: int = 2 << 30,
 ):
     """Embedding tables used for retrieval scoring.
 
@@ -58,7 +59,7 @@ def compute_serving_tables(
     # the plain segment path gathers an (E, d) message tensor; chunk it when
     # that exceeds ~2 GB so ML-25M-scale propagation fits beside a live
     # training state (E≈11M, d=256 → 11.4 GB unchunked)
-    chunks = max(1, int(np.ceil(e * d * 4 / (2 << 30))))
+    chunks = max(1, int(np.ceil(e * d * 4 / chunk_budget_bytes)))
     if chunks > 1:
         per = -(-e // chunks)
         per = ((per + 127) // 128) * 128

@@ -112,3 +112,42 @@ def test_recommend_from_movie(tiny_data):
     assert len(out["top_users"]) == 10
     raw_ids = {u["user_id"] for u in out["top_users"]}
     assert raw_ids <= set(tiny_data.user_ids.tolist())
+
+
+def test_serving_tables_chunked_matches_plain(tiny_data):
+    """Chunked propagated-table build (the d>=128 OOM guard) is exact vs the
+    single-pass path; dot-vs-cosine normalize flag reorders rankings."""
+    from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        batch_recommend_users, compute_serving_tables,
+    )
+
+    params = _toy_params(tiny_data, dim=8)
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8))
+    plain = compute_serving_tables(params, tiny_data.edge_index, cfg,
+                                   mode="propagated")
+    chunked = compute_serving_tables(params, tiny_data.edge_index, cfg,
+                                     mode="propagated", chunk_budget_bytes=4096)
+    np.testing.assert_allclose(np.asarray(plain.user_emb),
+                               np.asarray(chunked.user_emb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(plain.item_emb),
+                               np.asarray(chunked.item_emb), rtol=1e-5, atol=1e-6)
+
+    # normalize=False ranks by raw inner products (norms matter): scale one
+    # item's embedding up and it must dominate dot rankings while cosine is
+    # scale-invariant
+    boosted = np.asarray(params.item_emb).copy()
+    # a huge vector aligned with query user 0 -> dominant positive dot for it
+    boosted[3] = 100.0 * np.asarray(params.user_emb)[0]
+    p2 = LightGCNParams(params.user_emb, jnp.asarray(boosted))
+    uidx = np.arange(2)
+    _, idx_dot = batch_recommend_users(p2, uidx[:1], top_k=1, normalize=False)
+    assert np.all(np.asarray(idx_dot) == 3)
+    # cosine is invariant to pure per-item SCALING (dot is not)
+    scaled = np.asarray(params.item_emb).copy()
+    scaled[5] *= 100.0
+    p3 = LightGCNParams(params.user_emb, jnp.asarray(scaled))
+    _, idx_cos = batch_recommend_users(params, uidx, top_k=3, normalize=True)
+    _, idx_cos_scaled = batch_recommend_users(p3, uidx, top_k=3, normalize=True)
+    np.testing.assert_array_equal(np.asarray(idx_cos),
+                                  np.asarray(idx_cos_scaled))
