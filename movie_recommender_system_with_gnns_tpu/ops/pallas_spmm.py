@@ -83,7 +83,14 @@ def _ell_block_call(emb: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
             parts.append(_ell_block_call(emb[:n], nbr[:, s:e], w[:, s:e]))
         return functools.reduce(jnp.add, parts)
 
-    tile_r = ROW_TILE if rows % ROW_TILE == 0 else 8  # ELL rows are 8-aligned
+    tile_r = ROW_TILE if rows % ROW_TILE == 0 else 8
+    if rows % tile_r != 0:
+        # pad rows to the tile (zero weights null the phantom rows' output);
+        # without this the floored grid would leave tail rows UNWRITTEN
+        pad = tile_r - rows % tile_r
+        nbr = jnp.concatenate([nbr, jnp.zeros((pad, width), nbr.dtype)], axis=0)
+        w = jnp.concatenate([w, jnp.zeros((pad, width), w.dtype)], axis=0)
+        return _ell_block_call(emb[:n], nbr, w)[:rows]
     grid = (rows // tile_r, n_pad // COL_CHUNK)
     return pl.pallas_call(
         _onehot_spmm_kernel,
@@ -113,7 +120,12 @@ def _ell_block_call(emb: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
 @jax.jit
 def spmm_ell_pallas(ell: DeviceELL, emb: jax.Array) -> jax.Array:
     """Pallas one-hot SpMM over the degree-bucketed ELL blocks (small-graph
-    regime; see module docstring). API-compatible with ops.spmm.spmm_ell."""
+    regime; see module docstring). API-compatible with ops.spmm.spmm_ell.
+
+    Precision: the in-kernel one-hot matmul rides the MXU, whose f32 matmul
+    rounds operands toward bf16 at default precision (~4e-3 abs at unit-scale
+    inputs on v5e) — the same trade the hybrid trainer's dense blocks make.
+    The XLA ELL/segment paths are full f32."""
     outs = []
     for blk in ell.blocks:
         outs.append(_ell_block_call(emb, blk.nbr, blk.w))
@@ -134,5 +146,13 @@ def select_spmm(num_nodes: int, dim: int, use_pallas: Optional[bool] = None):
     from .spmm import spmm_ell
 
     if use_pallas:
+        if num_nodes > PALLAS_MAX_NODES:
+            import warnings
+
+            warnings.warn(
+                f"pallas one-hot SpMM requested for {num_nodes} nodes "
+                f"(> {PALLAS_MAX_NODES}): O(N^2) densification would be "
+                "slower than the XLA ELL path; routing to XLA", stacklevel=2)
+            return spmm_ell
         return spmm_ell_pallas
     return spmm_ell

@@ -164,8 +164,11 @@ class HybridGraph:
     Intra-cluster edges (the partitioner keeps ~40-45% of ML-25M's mass in 100
     diagonal blocks) become dense (K, P, P) MXU blocks; the remainder stays a
     dst-sorted COO for the gather path. Edge weights are the GLOBAL GCN
-    normalization, so ``spmm_hybrid(h, e) == spmm_segment(full, e)`` exactly
-    (up to float summation order). The point: TPU gather/scatter costs
+    normalization, so ``spmm_hybrid(h, e) == spmm_segment(full, e)`` up to float
+    summation order at ``block_dtype=float32`` — the default bfloat16 blocks
+    additionally round intra-cluster operands to bf16 (MXU operand precision,
+    f32 accumulation), a ~3-decimal-digit effect golden-tested in
+    tests/test_fullgraph.py. The point: TPU gather/scatter costs
     ~24 ns/row regardless of width, so moving 40%+ of the edges from
     per-edge gathers onto the MXU cuts full-graph propagation time by ~40%.
     """

@@ -38,7 +38,7 @@ def mips_topk(
     catalog: jax.Array,             # (N, d)
     k: int = 10,
     exclude_mask: Optional[jax.Array] = None,   # (Q, N) bool — True = exclude
-    block: int = 8192,
+    block: Optional[int] = None,  # per-method default: 8192 blocked, 4096 pallas
     normalize: bool = True,
     method: str = "auto",
     recall_target: float = 1.0,
@@ -62,8 +62,12 @@ def mips_topk(
     if method == "pallas":
         from .pallas_mips import mips_topk_pallas
 
-        return mips_topk_pallas(query, catalog, k=k, block=block,
+        # the kernel's own safe default is 4096: a (256, 8192) f32 score +
+        # iota tile pair sits at the 16 MB VMEM edge (pallas_mips.py)
+        return mips_topk_pallas(query, catalog, k=k, block=block or 4096,
                                 normalize=normalize, exclude_mask=exclude_mask)
+    if block is None:
+        block = 8192
     if method == "auto":
         method = "flat" if nq_ * n_ * 4 <= max_flat_bytes else "blocked"
     if method == "flat":

@@ -449,6 +449,13 @@ def create_lazy_train_state(cfg: Config, params: LightGCNParams) -> TrainState:
 
 def make_compact_epoch_fn(cfg: Config):
     """One fused ``lax.scan`` pass over all compact clusters per call."""
+    if cfg.train.num_negatives > 1:
+        import warnings
+
+        warnings.warn(
+            f"compact trainer ignores num_negatives={cfg.train.num_negatives}: "
+            "its local-space loss samples exactly 1 negative per positive "
+            "(use trainer='fullgraph' or 'full' for K>1)", stacklevel=2)
     if cfg.train.optimizer == "lazy_adam":
         if cfg.train.fused_bpr:
             import warnings

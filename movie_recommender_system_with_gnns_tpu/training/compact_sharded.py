@@ -37,6 +37,13 @@ def make_compact_sharded_epoch_fn(cfg: Config, mesh: Mesh):
     Returns ``epoch_fn(state, cc, key) -> (state, mean_loss)`` like the
     single-chip compact epoch fn.
     """
+    if cfg.train.num_negatives > 1:
+        import warnings
+
+        warnings.warn(
+            f"sharded compact trainer ignores num_negatives="
+            f"{cfg.train.num_negatives}: 1 negative per positive "
+            "(use trainer='fullgraph' for K>1)", stacklevel=2)
     pd = mesh.shape[DATA_AXIS]
     if cfg.train.fused_bpr:
         # pallas_call's out_shape lacks the vma annotations shard_map's

@@ -93,3 +93,18 @@ def test_pallas_mips_exclusion(rng):
         exp = np.argsort(-ref[r])
         exp = exp[exp != banned[r]][0]
         assert i[r][0] == exp
+
+
+def test_pallas_spmm_unaligned_rows(tiny_graph, rng):
+    """row_align=4 can yield bucket row counts that are NOT multiples of the
+    8-row tile; the kernel must pad rather than silently truncate the tail
+    rows (regression: floored grid left them unwritten)."""
+    e, n = tiny_graph
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    coo = DeviceCOO.from_host(COOGraph.build(e, n))
+    ell = DeviceELL.from_host(EllGraph.build(e, n, row_align=4))
+    assert any(b.nbr.shape[0] % 8 != 0 for b in ell.blocks), \
+        "fixture no longer produces unaligned buckets; lower row_align"
+    ref = np.asarray(spmm_segment(coo, jnp.asarray(x)))
+    out = np.asarray(spmm_ell_pallas(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
