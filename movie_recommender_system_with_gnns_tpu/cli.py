@@ -30,6 +30,7 @@ def _build_cfg(args) -> Config:
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
         synthetic_interactions=args.synthetic_interactions,
+        split_level=getattr(args, "split_level", "edge"),
     )
     model = ModelConfig(num_layers=args.layers, dim=args.dim, readout=args.readout)
     train = TrainConfig(epochs=args.epochs, lr=args.lr, num_clusters=args.clusters,
@@ -40,7 +41,9 @@ def _build_cfg(args) -> Config:
                         trainer=getattr(args, "trainer", "compact"),
                         fullgraph_steps=getattr(args, "fullgraph_steps", 16),
                         num_negatives=getattr(args, "num_negatives", 1),
-                        fused_bpr=getattr(args, "fused_bpr", False))
+                        fused_bpr=getattr(args, "fused_bpr", False),
+                        lr_schedule=getattr(args, "lr_schedule", "constant"),
+                        lr_warmup_steps=getattr(args, "lr_warmup_steps", 0))
     return Config(data=data, model=model, train=train)
 
 
@@ -62,6 +65,17 @@ def cmd_train(args) -> int:
     print(f"Number of users: {data.num_users}")
     print(f"Number of items: {data.num_items}")
     print(f"Number of relevant interactions: {data.edge_index.shape[1]}")
+
+    if cfg.train.lr_schedule == "cosine" and cfg.train.lr_total_steps <= 0:
+        from .training.fullgraph import FullGraphTrainData
+
+        steps_per_epoch = (clusters.num_steps
+                           if isinstance(clusters, FullGraphTrainData)
+                           else cfg.train.num_clusters)
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, lr_total_steps=steps_per_epoch * cfg.train.epochs))
 
     state = create_train_state(cfg, data.num_users, data.num_items)
     if cfg.train.resume:
@@ -275,6 +289,15 @@ def main(argv=None) -> int:
                          "block-diagonal kernel, 100%% edge retention)")
     pt.add_argument("--fullgraph-steps", type=int, default=16,
                     help="optimizer updates per fullgraph epoch")
+    pt.add_argument("--split-level", default="edge",
+                    choices=["edge", "interaction"],
+                    help="edge = reference-parity split of the doubled edge "
+                         "list; interaction = leakage-free unique-pair split")
+    pt.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine adds warmup + decay (total steps auto-set "
+                         "to steps_per_epoch x epochs)")
+    pt.add_argument("--lr-warmup-steps", type=int, default=0)
     pt.add_argument("--num-negatives", type=int, default=1,
                     help="negatives per positive (full/fullgraph trainers)")
     pt.add_argument("--fused-bpr", action="store_true",
