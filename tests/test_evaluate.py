@@ -69,3 +69,56 @@ def test_metrics_logger(tmp_path):
     assert len(recs) == 3
     assert lg.history("loss") == [1.0, 0.5]
     assert "span/unit_s" in recs[2]
+
+
+def test_full_ranking_matches_numpy_oracle():
+    """evaluate_full_ranking (vectorized masks, batched MIPS) vs a brute-force
+    NumPy oracle, under both scoring modes; max_users sampling is seeded."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    num_users, num_items, k = 37, 53, 5
+    params = LightGCNParams(
+        jnp.asarray(rng.standard_normal((num_users, 8)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((num_items, 8)).astype(np.float32)))
+    def edges(n):
+        u = rng.integers(0, num_users, n)
+        v = rng.integers(0, num_items, n) + num_users
+        return np.stack([np.concatenate([u, v]), np.concatenate([v, u])])
+    train_e, test_e = edges(300), edges(60)
+
+    def oracle(normalize):
+        U = np.asarray(params.user_emb); I = np.asarray(params.item_emb)
+        if normalize:
+            U = U / np.maximum(np.linalg.norm(U, axis=1, keepdims=True), 1e-12)
+            I = I / np.maximum(np.linalg.norm(I, axis=1, keepdims=True), 1e-12)
+        s = U @ I.T
+        tr_ptr, tr_items = _np_group_by_user(train_e, num_users)
+        ev_ptr, ev_items = _np_group_by_user(test_e, num_users)
+        disc = 1.0 / np.log2(np.arange(2, k + 2))
+        recs, ndcgs = [], []
+        for u in range(num_users):
+            rel = set(ev_items[ev_ptr[u]:ev_ptr[u + 1]].tolist())
+            if not rel:
+                continue
+            su = s[u].copy()
+            su[tr_items[tr_ptr[u]:tr_ptr[u + 1]]] = -np.inf
+            top = np.argsort(-su, kind="stable")[:k]
+            hits = np.array([t in rel for t in top])
+            recs.append(hits.sum() / len(rel))
+            idcg = disc[:min(len(rel), k)].sum()
+            ndcgs.append((hits * disc).sum() / idcg)
+        return float(np.mean(recs)), float(np.mean(ndcgs))
+
+    for normalize in (True, False):
+        r, n = evaluate_full_ranking(params, train_e, test_e, num_users, k=k,
+                                     batch_users=16, normalize=normalize)
+        ro, no = oracle(normalize)
+        assert abs(r - ro) < 1e-5 and abs(n - no) < 1e-5, (normalize, r, ro, n, no)
+
+    # seeded sampling: same seed -> same subset metrics, different seed may differ
+    a = evaluate_full_ranking(params, train_e, test_e, num_users, k=k,
+                              max_users=5, sample_seed=1)
+    b = evaluate_full_ranking(params, train_e, test_e, num_users, k=k,
+                              max_users=5, sample_seed=1)
+    assert a == b
