@@ -228,10 +228,19 @@ def cmd_eda(args) -> int:
 
     cfg = _build_cfg(args)
     ratings_path = os.path.join(cfg.data.data_dir, "ratings.csv")
+    movies = tags = None
     if os.path.exists(ratings_path):
         import pandas as pd
 
         ratings = pd.read_csv(ratings_path, usecols=["userId", "movieId", "rating"])
+        # genre/tag breakdowns when the sibling CSVs exist (reference
+        # data/eda.py:76-108 prints both)
+        movies_path = os.path.join(cfg.data.data_dir, "movies.csv")
+        tags_path = os.path.join(cfg.data.data_dir, "tags.csv")
+        if os.path.exists(movies_path):
+            movies = pd.read_csv(movies_path)
+        if os.path.exists(tags_path):
+            tags = pd.read_csv(tags_path)
     else:
         import pandas as pd
 
@@ -248,7 +257,7 @@ def cmd_eda(args) -> int:
             "movieId": d.raw_movie_id(e[1][fwd] - d.num_users),
             "rating": 4.0,
         })
-    eda_report(ratings, min_rating=cfg.data.min_rating)
+    eda_report(ratings, movies=movies, tags=tags, min_rating=cfg.data.min_rating)
     return 0
 
 

@@ -78,7 +78,9 @@ def _exclusion_mask(num_cols: int, excluded: Optional[Sequence[int]]) -> Optiona
     if excluded is None:
         return None
     m = np.zeros((1, num_cols), dtype=bool)
-    idx = np.asarray(excluded, dtype=np.int64)
+    # accept any iterable of indices (the CLI builds a python set)
+    idx = np.fromiter(excluded, dtype=np.int64) if isinstance(
+        excluded, (set, frozenset)) else np.asarray(excluded, dtype=np.int64)
     idx = idx[(idx >= 0) & (idx < num_cols)]
     m[0, idx] = True
     return jnp.asarray(m)

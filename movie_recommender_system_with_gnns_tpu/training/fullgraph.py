@@ -51,13 +51,17 @@ class FullGraphTrainData:
     """
 
     def __init__(self, hybrid: HybridGraph, user: jax.Array, pos_item: jax.Array,
-                 e_real: int, num_steps: int, batch: int):
+                 e_real: int, num_steps: int, batch: int,
+                 symmetric_ok: bool = True):
         self.hybrid = hybrid
         self.user = user
         self.pos_item = pos_item
         self.e_real = e_real
         self.num_steps = num_steps
         self.batch = batch
+        # False when the train adjacency failed the build-time symmetry check
+        # (edge-level split) — the epoch fn then ignores cfg.train.symmetric_vjp
+        self.symmetric_ok = symmetric_ok
 
 
 def build_fullgraph_data(
@@ -98,6 +102,28 @@ def build_fullgraph_data(
     pos = uv[1].astype(np.int32)
     e_real = int(users.shape[0])
 
+    # The symmetric-Â custom VJP assumes Â = Âᵀ. The reference's edge-level
+    # split (dataset_handler.py:167-168) permutes the direction-DOUBLED edge
+    # list, so ~2·p·(1−p) of train pairs keep only one direction and the train
+    # adjacency is NOT symmetric — the VJP's backward Â·g would then be wrong
+    # for those edges. Verify symmetry at build time and fall back to the
+    # autodiff hybrid kernel (exact for any adjacency) when it fails.
+    symmetric_ok = True
+    if cfg.train.symmetric_vjp:
+        key_f = train_edge_index[0].astype(np.int64) * num_nodes + train_edge_index[1]
+        key_b = train_edge_index[1].astype(np.int64) * num_nodes + train_edge_index[0]
+        symmetric_ok = bool(np.array_equal(np.sort(key_f), np.sort(key_b)))
+        if not symmetric_ok:
+            import warnings
+
+            warnings.warn(
+                "fullgraph trainer: train adjacency is asymmetric (edge-level "
+                "split keeps single directions — config.py split_level docs); "
+                "symmetric_vjp is DISABLED for this run, backward uses the "
+                "autodiff hybrid kernel (exact, ~2x backward propagation "
+                "cost). Use split_level='interaction' for a symmetric train "
+                "graph.", stacklevel=2)
+
     # explicit batch_size wins over the steps knob; both paths lane-align the
     # static width, then RE-derive the step count from the aligned batch so no
     # scan step is all-padding (a zero-grad Adam step still moves params via
@@ -106,7 +132,15 @@ def build_fullgraph_data(
         batch = int(cfg.train.batch_size)
     else:
         batch = -(-e_real // max(1, cfg.train.fullgraph_steps))
-    batch = ((batch + 1023) // 1024) * 1024  # lane-aligned static width
+    batch_aligned = ((batch + 1023) // 1024) * 1024  # lane-aligned static width
+    if cfg.train.batch_size and batch_aligned != batch:
+        import warnings
+
+        warnings.warn(
+            f"fullgraph trainer: batch_size={batch} lane-aligned up to "
+            f"{batch_aligned} (the static scan width must be a multiple of "
+            "1024; batch_size overrides fullgraph_steps)", stacklevel=2)
+    batch = batch_aligned
     num_steps = max(1, -(-e_real // batch))
     e_pad = num_steps * batch
     users = np.concatenate([users, np.zeros(e_pad - e_real, np.int32)])
@@ -114,6 +148,7 @@ def build_fullgraph_data(
     return FullGraphTrainData(
         hybrid=hybrid, user=jnp.asarray(users), pos_item=jnp.asarray(pos),
         e_real=e_real, num_steps=num_steps, batch=batch,
+        symmetric_ok=symmetric_ok,
     )
 
 
@@ -124,12 +159,14 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
     ``epoch_fn(state, fg, key) -> (state, mean_loss)``.
     """
     opt = make_optimizer(cfg)
-    spmm = spmm_hybrid_sym if cfg.train.symmetric_vjp else spmm_hybrid
-    e_real, num_steps, batch = fg.e_real, fg.num_steps, fg.batch
+    spmm = (spmm_hybrid_sym if (cfg.train.symmetric_vjp and fg.symmetric_ok)
+            else spmm_hybrid)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,),
+             static_argnames=("e_real", "num_steps", "batch"))
     def epoch_inner(state: TrainState, hybrid: HybridGraph, user: jax.Array,
-                    pos_item: jax.Array, key: jax.Array
+                    pos_item: jax.Array, key: jax.Array, *,
+                    e_real: int, num_steps: int, batch: int
                     ) -> Tuple[TrainState, jax.Array]:
         pkey, skey = jax.random.split(key)
         # shuffle real positives; padding stays at the tail (masked)
@@ -157,6 +194,11 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
         return st, jnp.sum(wlosses) / e_real
 
     def epoch_fn(state: TrainState, fg_: FullGraphTrainData, key: jax.Array):
-        return epoch_inner(state, fg_.hybrid, fg_.user, fg_.pos_item, key)
+        # shape constants come from the ARGUMENT (static jit args, not closure
+        # state): calling with a differently-shaped FullGraphTrainData retraces
+        # correctly instead of silently misindexing
+        return epoch_inner(state, fg_.hybrid, fg_.user, fg_.pos_item, key,
+                           e_real=fg_.e_real, num_steps=fg_.num_steps,
+                           batch=fg_.batch)
 
     return epoch_fn

@@ -85,7 +85,7 @@ def test_fullgraph_loss_and_grads_match_segment_oracle():
         assert rel < 1e-4, rel
 
 
-def test_fullgraph_trainer_end_to_end():
+def test_fullgraph_trainer_end_to_end(tmp_path):
     from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
         FullGraphTrainData,
     )
@@ -99,7 +99,7 @@ def test_fullgraph_trainer_end_to_end():
     cfg = Config(
         data=DataConfig(dataset="synthetic", synthetic_users=120,
                         synthetic_items=200, synthetic_interactions=4000,
-                        indexes_dir="/tmp/fg_idx"),
+                        indexes_dir=str(tmp_path / "fg_idx")),
         model=ModelConfig(num_layers=2, dim=16),
         train=TrainConfig(epochs=2, trainer="fullgraph", fullgraph_steps=3,
                           num_clusters=4, resume=False),
@@ -120,3 +120,35 @@ def test_fullgraph_trainer_end_to_end():
     assert len(hist["train_loss"]) == 2
     assert np.isfinite(hist["train_loss"]).all()
     assert np.abs(np.asarray(state.params.user_emb) - p0).max() > 0
+
+
+def test_asymmetric_train_graph_disables_symmetric_vjp():
+    """Edge-level splits keep single directions of some pairs: the build-time
+    symmetry check must flag it, warn, and the epoch fn must fall back to the
+    autodiff kernel (ADVICE r1: silently-wrong gradients otherwise)."""
+    import warnings
+
+    from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
+        build_fullgraph_data,
+    )
+
+    data, n, _ = _tiny_setup()
+    cfg = Config(model=ModelConfig(num_layers=2, dim=16),
+                 train=TrainConfig(trainer="fullgraph", fullgraph_steps=2,
+                                   num_clusters=4))
+
+    # symmetric (full undirected) adjacency: no warning, flag set
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fg = build_fullgraph_data(cfg, data.edge_index, data.num_users, n)
+    assert fg.symmetric_ok
+
+    # drop 10% of directed edges -> asymmetric
+    rng = np.random.default_rng(0)
+    keep = rng.random(data.edge_index.shape[1]) > 0.1
+    asym = data.edge_index[:, keep]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fg2 = build_fullgraph_data(cfg, asym, data.num_users, n)
+    assert not fg2.symmetric_ok
+    assert any("asymmetric" in str(x.message) for x in w)

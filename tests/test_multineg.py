@@ -36,7 +36,7 @@ def test_k_identical_negatives_match_single():
         assert abs(a - bb) < 1e-6, (fn.__name__, a, bb)
 
 
-def test_multineg_train_step_runs():
+def test_multineg_train_step_runs(tmp_path):
     from movie_recommender_system_with_gnns_tpu.training.pipeline import (
         prepare_training_data,
     )
@@ -47,7 +47,7 @@ def test_multineg_train_step_runs():
     cfg = Config(
         data=DataConfig(dataset="synthetic", synthetic_users=100,
                         synthetic_items=150, synthetic_interactions=3000,
-                        indexes_dir="/tmp/mn_idx"),
+                        indexes_dir=str(tmp_path / "mn_idx")),
         model=ModelConfig(num_layers=2, dim=16),
         train=TrainConfig(epochs=1, trainer="fullgraph", fullgraph_steps=2,
                           num_clusters=4, num_negatives=4, loss="standard",
