@@ -190,3 +190,15 @@ def build_csr(edge_index: np.ndarray, num_nodes: int) -> Tuple[np.ndarray, np.nd
     deg = np.bincount(edge_index[1], minlength=num_nodes)
     rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
     return rowptr, col, w
+
+
+def adjacency_is_symmetric(edge_index: np.ndarray, num_nodes: int) -> bool:
+    """True iff every directed edge has its mirror (multiset equality).
+
+    The symmetric-Â custom VJP (ops/spmm.py::spmm_symmetric) and its sharded
+    counterpart assume Â = Âᵀ, which holds exactly when the edge list is
+    mirror-complete; edge-level 90/5/5 splits (reference
+    data/dataset_handler.py:167-168) break this for ~2·p·(1−p) of pairs."""
+    kf = edge_index[0].astype(np.int64) * num_nodes + edge_index[1]
+    kb = edge_index[1].astype(np.int64) * num_nodes + edge_index[0]
+    return bool(np.array_equal(np.sort(kf), np.sort(kb)))

@@ -96,35 +96,31 @@ def unpad_params(params: LightGCNParams, plan: ShardPlan) -> LightGCNParams:
     )
 
 
-def shard_graph(edge_index: np.ndarray, plan: ShardPlan) -> ShardedGraph:
-    """Partition edges by destination owner; emit equal-length padded shards.
-
-    Node ids are remapped into the padded space: users keep their id, items
-    shift from ``num_users`` up to ``u_pad``. GCN weights are computed BEFORE
-    padding/sharding on the true graph, so sharded propagation is bit-equal to
-    the single-device path.
-    """
-    w = gcn_norm(edge_index, plan.num_users + plan.num_items)
-    src = edge_index[0].astype(np.int64)
-    dst = edge_index[1].astype(np.int64)
-    # remap into padded node space
+def _to_padded_ids(nodes: np.ndarray, plan: ShardPlan) -> np.ndarray:
+    """True node-id space → padded space (items shift up to ``u_pad``)."""
     shift = plan.u_pad - plan.num_users
-    src_p = np.where(src >= plan.num_users, src + shift, src)
-    dst_p = np.where(dst >= plan.num_users, dst + shift, dst)
+    return np.where(nodes >= plan.num_users, nodes + shift, nodes)
 
-    def owner_and_local(nodes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        is_item = nodes >= plan.u_pad
-        u_owner = nodes // plan.u_loc
-        u_local = nodes % plan.u_loc
-        it = nodes - plan.u_pad
-        i_owner = it // plan.i_loc
-        i_local = plan.u_loc + it % plan.i_loc
-        return (
-            np.where(is_item, i_owner, u_owner),
-            np.where(is_item, i_local, u_local),
-        )
 
-    own, loc = owner_and_local(dst_p)
+def _owner_and_local(nodes: np.ndarray, plan: ShardPlan) -> Tuple[np.ndarray, np.ndarray]:
+    """Padded-space node id → (owner device, local row index users‖items)."""
+    is_item = nodes >= plan.u_pad
+    u_owner = nodes // plan.u_loc
+    u_local = nodes % plan.u_loc
+    it = nodes - plan.u_pad
+    i_owner = it // plan.i_loc
+    i_local = plan.u_loc + it % plan.i_loc
+    return (
+        np.where(is_item, i_owner, u_owner),
+        np.where(is_item, i_local, u_local),
+    )
+
+
+def _shard_coo_by_dst(src_p: np.ndarray, dst_p: np.ndarray, w: np.ndarray,
+                      plan: ShardPlan) -> ShardedGraph:
+    """Partition padded-space COO edges by destination owner; equal-length,
+    dst-sorted padded shards (pads point at the last local row with w=0)."""
+    own, loc = _owner_and_local(dst_p, plan)
     counts = np.bincount(own, minlength=plan.pm)
     e_shard = int(counts.max(initial=1))
     e_shard = ((e_shard + 127) // 128) * 128
@@ -145,6 +141,106 @@ def shard_graph(edge_index: np.ndarray, plan: ShardPlan) -> ShardedGraph:
         dst_s[p] = dst_s[p][resort]
         w_s[p] = w_s[p][resort]
     return ShardedGraph(jnp.asarray(src_s), jnp.asarray(dst_s), jnp.asarray(w_s))
+
+
+def shard_graph(edge_index: np.ndarray, plan: ShardPlan) -> ShardedGraph:
+    """Partition edges by destination owner; emit equal-length padded shards.
+
+    Node ids are remapped into the padded space: users keep their id, items
+    shift from ``num_users`` up to ``u_pad``. GCN weights are computed BEFORE
+    padding/sharding on the true graph, so sharded propagation is bit-equal to
+    the single-device path.
+    """
+    w = gcn_norm(edge_index, plan.num_users + plan.num_items)
+    src_p = _to_padded_ids(edge_index[0].astype(np.int64), plan)
+    dst_p = _to_padded_ids(edge_index[1].astype(np.int64), plan)
+    return _shard_coo_by_dst(src_p, dst_p, w, plan)
+
+
+class ShardedHybrid(NamedTuple):
+    """Hybrid adjacency sharded over the model axis (leading dim = Pm).
+
+    The mesh port of :class:`ops.spmm.HybridGraph` (VERDICT r1 item 1): the
+    partitioner's intra-cluster edge mass rides the MXU as dense blocks while
+    only the inter-cluster remainder pays the per-edge gather path.
+
+      * ``src``/``dst_local``/``w``: the OFF-diagonal remainder, sharded by
+        destination owner exactly like :class:`ShardedGraph`;
+      * ``blk_ids``/``blk_adj``: the dense diagonal blocks, dealt round-robin
+        over devices. Ids are PADDED-space node ids (block padding repeats the
+        last id; its adj row/col is zero). Each device matmuls its blocks
+        against the all-gathered layer input and the per-device partial
+        outputs reduce-scatter back to local rows.
+    """
+
+    src: jax.Array        # (Pm, E_shard) int32 — off-diag, global padded ids
+    dst_local: jax.Array  # (Pm, E_shard) int32, sorted per shard
+    w: jax.Array          # (Pm, E_shard) float32
+    blk_ids: jax.Array    # (Pm, K_loc, P) int32 — padded-space node ids
+    blk_adj: jax.Array    # (Pm, K_loc, P, P) — Â[k, dst, src], bf16/f32
+
+
+def shard_hybrid_graph(
+    edge_index: np.ndarray,
+    plan: ShardPlan,
+    node_part: np.ndarray,
+    num_parts: int,
+    align: int = 128,
+    block_dtype=jnp.bfloat16,
+    max_block_nodes: int = 4096,
+) -> ShardedHybrid:
+    """Host-side build of the sharded hybrid adjacency.
+
+    ``node_part``: (num_users+num_items,) part id per TRUE node id (users ‖
+    items unified space, data.partition.partition_assignments). GCN weights are
+    global (true graph), so sharded hybrid propagation equals single-device
+    ``ops.spmm.spmm_hybrid`` up to block-dtype rounding and summation order.
+    """
+    src = edge_index[0].astype(np.int64)
+    dst = edge_index[1].astype(np.int64)
+    w = gcn_norm(edge_index, plan.num_users + plan.num_items)
+    intra = node_part[src] == node_part[dst]
+
+    off = _shard_coo_by_dst(_to_padded_ids(src[~intra], plan),
+                            _to_padded_ids(dst[~intra], plan),
+                            w[~intra], plan)
+
+    # dense diagonal blocks in PADDED id space, one per part
+    i_src = _to_padded_ids(src[intra], plan)
+    i_dst = _to_padded_ids(dst[intra], plan)
+    i_w = w[intra]
+    ep = node_part[dst[intra]]          # part of the edge (= part of both ends)
+    blocks = []
+    for p in range(num_parts):
+        m = ep == p
+        s_p, d_p, w_p = i_src[m], i_dst[m], i_w[m]
+        ids = (np.unique(np.concatenate([s_p, d_p])) if len(s_p)
+               else np.zeros(1, np.int64))
+        blocks.append((ids, s_p, d_p, w_p))
+    p_max = max(len(b[0]) for b in blocks)
+    p_pad = ((p_max + align - 1) // align) * align
+    if p_pad > max_block_nodes:
+        raise ValueError(
+            f"sharded hybrid block width {p_pad} > {max_block_nodes}: use "
+            "more parts")
+    # round the block count up to a multiple of pm; filler blocks are all-zero
+    k_tot = ((num_parts + plan.pm - 1) // plan.pm) * plan.pm
+    out_dtype = jnp.dtype(block_dtype)
+    ids_arr = np.zeros((k_tot, p_pad), np.int32)
+    adj = np.zeros((k_tot, p_pad, p_pad), out_dtype)
+    for p, (ids, s_p, d_p, w_p) in enumerate(blocks):
+        ids_arr[p] = np.pad(ids, (0, p_pad - len(ids)), mode="edge")
+        ls = np.searchsorted(ids, s_p)
+        ld = np.searchsorted(ids, d_p)
+        flat = ld * p_pad + ls
+        block = np.bincount(flat, weights=w_p, minlength=p_pad * p_pad)
+        adj[p] = block.reshape(p_pad, p_pad).astype(out_dtype)
+    k_loc = k_tot // plan.pm
+    return ShardedHybrid(
+        src=off.src, dst_local=off.dst_local, w=off.w,
+        blk_ids=jnp.asarray(ids_arr.reshape(plan.pm, k_loc, p_pad)),
+        blk_adj=jnp.asarray(adj.reshape(plan.pm, k_loc, p_pad, p_pad)),
+    )
 
 
 def pad_batch(batch: TripletBatch, pd: int) -> TripletBatch:
@@ -179,13 +275,21 @@ def make_sharded_train_step(
     mesh: Mesh,
     plan: ShardPlan,
     opt: Optional[optax.GradientTransformation] = None,
+    hybrid: bool = False,
+    symmetric: Optional[bool] = None,
 ):
     """Build the shard_map'd train step.
 
-    Signature: ``step(state, graph: ShardedGraph, batch, neg, key) ->
-    (state, loss)`` where state holds PADDED tables. Numerically matches the
-    single-device ``training.train.make_train_step`` (see
-    tests/test_sharding.py::test_sharded_matches_single_device).
+    Signature: ``step(state, graph, batch, neg) -> (state, loss)`` where state
+    holds PADDED tables and ``graph`` is a :class:`ShardedGraph` (gather-path
+    propagation) or, with ``hybrid=True``, a :class:`ShardedHybrid` (dense
+    MXU diagonal blocks + gather remainder — the single-chip fullgraph
+    trainer's kernel ported to the mesh). ``symmetric`` enables the
+    symmetric-Â custom VJP per layer (backward reuses the forward collective
+    program; requires a mirror-complete edge list —
+    ``data.graph.adjacency_is_symmetric``); None defaults to
+    ``cfg.train.symmetric_vjp``. Numerically matches the single-device
+    trainers (tests/test_sharding.py).
     """
     if opt is None:
         opt = optax.adam(cfg.train.lr, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
@@ -193,6 +297,8 @@ def make_sharded_train_step(
     pm = plan.pm
     num_layers = cfg.model.num_layers
     readout = cfg.model.readout
+    if symmetric is None:
+        symmetric = bool(cfg.train.symmetric_vjp)
 
     spmm_chunks = max(int(getattr(cfg.train, "spmm_chunks", 1)), 1)
 
@@ -241,20 +347,84 @@ def make_sharded_train_step(
         scale = 1.0 / (k1 * k1) if readout == "reference" else 1.0 / k1
         return acc_u * scale, acc_i * scale
 
+    def _hybrid_layer(garr, uv):
+        """One hybrid layer on the mesh: all_gather → (local off-diag
+        segment-sum) + (dense MXU blocks → reduce_scatter). Self-adjoint as a
+        GLOBAL linear operator when Â = Âᵀ, so :func:`ops.spmm.spmm_symmetric`
+        can reuse it verbatim as its own backward."""
+        from ..ops.spmm import spmm_symmetric  # noqa: F401 (doc pointer)
+
+        src, dst_local, w, ids, adj = garr
+        u_cur, i_cur = uv
+        uf = jax.lax.all_gather(u_cur, MODEL_AXIS, axis=0, tiled=True)
+        itf = jax.lax.all_gather(i_cur, MODEL_AXIS, axis=0, tiled=True)
+        full = jnp.concatenate([uf, itf], axis=0)             # (n_pad, d)
+        d = full.shape[1]
+        l_rows = plan.u_loc + plan.i_loc
+        off = jax.ops.segment_sum(full[src] * w[:, None], dst_local,
+                                  num_segments=l_rows, indices_are_sorted=True)
+        k_loc, p = ids.shape
+        blk_in = full[ids.reshape(-1)].reshape(k_loc, p, d).astype(adj.dtype)
+        blk_out = jax.lax.dot_general(
+            adj, blk_in,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(full.dtype)                                  # (K_loc, P, d)
+        contrib = jnp.zeros((plan.n_pad, d), full.dtype).at[
+            ids.reshape(-1)].add(blk_out.reshape(-1, d))
+        # per-device partial block outputs land on whichever device owns the
+        # row: reduce_scatter converts (n_pad, d) partials to owned local rows
+        cu = jax.lax.psum_scatter(contrib[: plan.u_pad], MODEL_AXIS,
+                                  scatter_dimension=0, tiled=True)
+        ci = jax.lax.psum_scatter(contrib[plan.u_pad:], MODEL_AXIS,
+                                  scatter_dimension=0, tiled=True)
+        return off[: plan.u_loc] + cu, off[plan.u_loc:] + ci
+
+    if symmetric:
+        from ..ops.spmm import spmm_symmetric
+
+        _hybrid_layer_fn = spmm_symmetric(_hybrid_layer)
+    else:
+        _hybrid_layer_fn = _hybrid_layer
+
+    def local_propagate_hybrid(u_shard, i_shard, garr):
+        u_cur, i_cur = u_shard, i_shard
+        acc_u, acc_i = u_shard, i_shard
+        for _ in range(num_layers):
+            u_cur, i_cur = _hybrid_layer_fn(garr, (u_cur, i_cur))
+            acc_u = acc_u + u_cur
+            acc_i = acc_i + i_cur
+        k1 = num_layers + 1
+        scale = 1.0 / (k1 * k1) if readout == "reference" else 1.0 / k1
+        return acc_u * scale, acc_i * scale
+
     def local_loss(params: LightGCNParams, graph_shard, batch: TripletBatch,
                    neg: jax.Array) -> jax.Array:
-        src, dst_local, w = graph_shard
-        fu_loc, fi_loc = local_propagate(params.user_emb, params.item_emb,
-                                         src, dst_local, w)
+        if hybrid:
+            fu_loc, fi_loc = local_propagate_hybrid(
+                params.user_emb, params.item_emb, graph_shard)
+        else:
+            src, dst_local, w = graph_shard
+            fu_loc, fi_loc = local_propagate(params.user_emb, params.item_emb,
+                                             src, dst_local, w)
         # full final tables for triplet gathers (replicated over 'model')
         fu = jax.lax.all_gather(fu_loc, MODEL_AXIS, axis=0, tiled=True)
         fi = jax.lax.all_gather(fi_loc, MODEL_AXIS, axis=0, tiled=True)
         u0 = jax.lax.all_gather(params.user_emb, MODEL_AXIS, axis=0, tiled=True)
         i0 = jax.lax.all_gather(params.item_emb, MODEL_AXIS, axis=0, tiled=True)
 
-        uf, ui = fu[batch.user], u0[batch.user]
-        pf, pi = fi[batch.pos_item], i0[batch.pos_item]
-        nf, ni = fi[neg], i0[neg]
+        # fused (final ‖ initial) gather pairs: TPU gather cost is per-ROW
+        # (width-independent up to 128 lanes), so one 2d-wide gather per index
+        # set halves the row-op count vs separate final/initial gathers (the
+        # same fusion the compact trainer uses, training/compact.py)
+        d = fu.shape[1]
+        u_cat = jnp.concatenate([fu, u0], axis=1)[batch.user]
+        uf, ui = u_cat[:, :d], u_cat[:, d:]
+        i_cat = jnp.concatenate([fi, i0], axis=1)
+        p_cat = i_cat[batch.pos_item]
+        pf, pi = p_cat[:, :d], p_cat[:, d:]
+        n_cat = i_cat[neg]
+        nf, ni = n_cat[:, :d], n_cat[:, d:]
         # masked SUMS so cross-device averaging is exact under uneven masks
         m = batch.mask.astype(jnp.float32)
         cnt = jnp.maximum(jax.lax.psum(jnp.sum(m), DATA_AXIS), 1.0)
@@ -272,9 +442,13 @@ def make_sharded_train_step(
         # all_gather transposes sums to exactly the true gradient
         return jax.lax.psum(loss, MODEL_AXIS) / pm
 
-    def step(state, graph: ShardedGraph, batch: TripletBatch, neg: jax.Array):
+    def step(state, graph, batch: TripletBatch, neg: jax.Array):
         params, opt_state, count = state
-        graph_shard = (graph.src[0], graph.dst_local[0], graph.w[0])
+        if hybrid:
+            graph_shard = (graph.src[0], graph.dst_local[0], graph.w[0],
+                           graph.blk_ids[0], graph.blk_adj[0])
+        else:
+            graph_shard = (graph.src[0], graph.dst_local[0], graph.w[0])
         loss, grads = jax.value_and_grad(local_loss)(params, graph_shard, batch, neg)
         # data-parallel reduction: each data-device saw only its batch shard
         grads = jax.tree.map(lambda g: jax.lax.psum(g, DATA_AXIS), grads)
@@ -290,9 +464,12 @@ def make_sharded_train_step(
         return (params, opt_state, count + 1), loss
 
     # ---- wire shard_map ----
-    def build(state_template):
+    def build(state_template, jit: bool = True):
         st_specs = state_specs(state_template, plan)
-        graph_specs = ShardedGraph(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS))
+        if hybrid:
+            graph_specs = ShardedHybrid(*([P(MODEL_AXIS)] * 5))
+        else:
+            graph_specs = ShardedGraph(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS))
         batch_specs = TripletBatch(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
         fn = jax.shard_map(
             step,
@@ -300,7 +477,80 @@ def make_sharded_train_step(
             in_specs=(st_specs, graph_specs, batch_specs, P(DATA_AXIS)),
             out_specs=(st_specs, P()),
         )
-        return jax.jit(fn)
+        return jax.jit(fn) if jit else fn
+
+    return build
+
+
+def make_sharded_epoch_fn(
+    cfg: Config,
+    mesh: Mesh,
+    plan: ShardPlan,
+    opt: Optional[optax.GradientTransformation] = None,
+    hybrid: bool = True,
+    symmetric: Optional[bool] = None,
+):
+    """Fused sharded epoch: shuffle all train positives on device, then scan
+    ``num_steps`` shard_map'd train steps in ONE compiled program — the mesh
+    analog of the single-chip fullgraph epoch (training/fullgraph.py).
+
+    Returns ``build(state_template) -> epoch_fn(state, graph, user, pos_item,
+    key)`` where ``user``/``pos_item`` are ALL train positives padded to a
+    multiple of the lane-aligned batch (padding masked out of the loss), and
+    ``graph`` is a :class:`ShardedHybrid` (default) or :class:`ShardedGraph`.
+    """
+    from functools import partial
+
+    from ..ops.sampling import sample_negative
+
+    step_builder = make_sharded_train_step(cfg, mesh, plan, opt=opt,
+                                           hybrid=hybrid, symmetric=symmetric)
+    pd_axis = mesh.shape[DATA_AXIS]
+
+    def build(state_template):
+        sharded_step = step_builder(state_template, jit=False)
+
+        @partial(jax.jit, donate_argnums=(0,),
+                 static_argnames=("e_real", "num_steps", "batch"))
+        def epoch_inner(state, graph, user, pos_item, key, *,
+                        e_real: int, num_steps: int, batch: int):
+            pkey, skey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, e_real).astype(jnp.int32)
+            idx = jnp.concatenate(
+                [perm, jnp.arange(e_real, num_steps * batch, dtype=jnp.int32)])
+            u = user[idx].reshape(num_steps, batch)
+            p = pos_item[idx].reshape(num_steps, batch)
+            m = (idx < e_real).reshape(num_steps, batch)
+            keys = jax.random.split(skey, num_steps)
+
+            def body(st, x):
+                uu, pp, mm, k = x
+                neg = sample_negative(k, batch, plan.num_items)
+                tb = TripletBatch(user=uu, pos_item=pp, mask=mm)
+                st, loss = sharded_step(st, graph, tb, neg)
+                return st, loss * mm.sum()
+
+            st, wlosses = jax.lax.scan(body, state, (u, p, m, keys))
+            return st, jnp.sum(wlosses) / e_real
+
+        def epoch_fn(state, graph, user, pos_item, key):
+            e_real = int(user.shape[0])  # caller may pre-pad; see pad helper
+            # lane-aligned static batch from the fullgraph steps knob
+            batch = -(-e_real // max(1, cfg.train.fullgraph_steps))
+            if cfg.train.batch_size:
+                batch = int(cfg.train.batch_size)
+            batch = ((batch + 1023) // 1024) * 1024
+            batch = max(batch, pd_axis * 8)
+            num_steps = max(1, -(-e_real // batch))
+            pad = num_steps * batch - e_real
+            if pad:
+                user = jnp.concatenate([user, jnp.zeros((pad,), user.dtype)])
+                pos_item = jnp.concatenate(
+                    [pos_item, jnp.zeros((pad,), pos_item.dtype)])
+            return epoch_inner(state, graph, user, pos_item, key,
+                               e_real=e_real, num_steps=num_steps, batch=batch)
+
+        return epoch_fn
 
     return build
 

@@ -110,9 +110,9 @@ def build_fullgraph_data(
     # autodiff hybrid kernel (exact for any adjacency) when it fails.
     symmetric_ok = True
     if cfg.train.symmetric_vjp:
-        key_f = train_edge_index[0].astype(np.int64) * num_nodes + train_edge_index[1]
-        key_b = train_edge_index[1].astype(np.int64) * num_nodes + train_edge_index[0]
-        symmetric_ok = bool(np.array_equal(np.sort(key_f), np.sort(key_b)))
+        from ..data.graph import adjacency_is_symmetric
+
+        symmetric_ok = adjacency_is_symmetric(train_edge_index, num_nodes)
         if not symmetric_ok:
             import warnings
 

@@ -147,3 +147,127 @@ def test_sharded_minibatch_and_chunked(tiny_data, mesh, tmp_path):
     params, hist = train_model_sharded(cfg, nu, ni, train_e, val, test, mesh=mesh)
     assert np.isfinite(hist["train_loss"][-1])
     assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def _node_part(tiny_data, parts=4):
+    from movie_recommender_system_with_gnns_tpu.data.partition import (
+        partition_assignments,
+    )
+
+    nu = tiny_data.num_users
+    n = nu + tiny_data.num_items
+    pu, pi = partition_assignments(tiny_data.edge_index, nu, n, parts)
+    return np.concatenate([pu, pi])
+
+
+def test_sharded_hybrid_matches_single_device_hybrid(tiny_data, mesh):
+    """VERDICT r1 item 1: the mesh hybrid step must reproduce the single-chip
+    hybrid trainer (dense MXU blocks + symmetric-A-hat VJP) numerically."""
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+        build_hybrid_graph, spmm_hybrid_sym,
+    )
+    from movie_recommender_system_with_gnns_tpu.parallel.sharding import (
+        shard_hybrid_graph,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    e = tiny_data.edge_index
+    node_part = _node_part(tiny_data)
+    plan = ShardPlan.create(nu, ni, pm=4)
+
+    params = init_params(jax.random.PRNGKey(0), nu, ni, cfg.model.dim)
+    batch = triplets_from_edges(e, nu, pad_to=2048)
+    neg = jax.random.randint(jax.random.PRNGKey(7), (2048,), 0, ni, dtype=jnp.int32)
+
+    # --- single-device hybrid reference step (f32 blocks for exactness) ---
+    h = build_hybrid_graph(e, n, node_part, 4, align=8, block_dtype=jnp.float32)
+    loss_ref, grads_ref = jax.value_and_grad(compute_loss)(
+        params, h, batch, neg, cfg, spmm_hybrid_sym)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+                      optax.adam(cfg.train.lr))
+    upd, _ = opt.update(grads_ref, opt.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    # --- sharded hybrid step (symmetric VJP on) ---
+    p_pad = pad_params(params, plan)
+    adam = optax.adam(cfg.train.lr)
+    state = (p_pad, adam.init(p_pad), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(cfg, mesh, plan, opt=adam, hybrid=True,
+                                   symmetric=True)(state)
+    g = shard_hybrid_graph(e, plan, node_part, 4, align=8,
+                           block_dtype=jnp.float32)
+    state2, loss_sh = step(state, g, batch, neg)
+    p_new = unpad_params(state2[0], plan)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_new.user_emb),
+                               np.asarray(params_ref.user_emb), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_new.item_emb),
+                               np.asarray(params_ref.item_emb), rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_hybrid_symmetric_vjp_matches_autodiff(tiny_data, mesh):
+    """The sharded per-layer symmetric VJP (backward = forward collective
+    program) must equal plain autodiff through the sharded hybrid layers."""
+    from movie_recommender_system_with_gnns_tpu.parallel.sharding import (
+        shard_hybrid_graph,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    e = tiny_data.edge_index
+    node_part = _node_part(tiny_data)
+    plan = ShardPlan.create(nu, ni, pm=4)
+    params = init_params(jax.random.PRNGKey(2), nu, ni, cfg.model.dim)
+    batch = triplets_from_edges(e, nu, pad_to=2048)
+    neg = jax.random.randint(jax.random.PRNGKey(9), (2048,), 0, ni, dtype=jnp.int32)
+    g = shard_hybrid_graph(e, plan, node_part, 4, align=8,
+                           block_dtype=jnp.float32)
+    p_pad = pad_params(params, plan)
+    adam = optax.adam(cfg.train.lr)
+    state = (p_pad, adam.init(p_pad), jnp.zeros((), jnp.int32))
+
+    outs = []
+    for symmetric in (True, False):
+        step = make_sharded_train_step(cfg, mesh, plan, opt=adam, hybrid=True,
+                                       symmetric=symmetric)(state)
+        st2, loss = step(state, g, batch, neg)
+        outs.append((float(loss), np.asarray(unpad_params(st2[0], plan).user_emb)))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-6
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_epoch_fn_learns(tiny_data, mesh):
+    """The fused scan epoch (shuffle + num_steps sharded hybrid steps in one
+    program) runs and decreases the loss over epochs."""
+    from movie_recommender_system_with_gnns_tpu.data.partition import forward_half
+    from movie_recommender_system_with_gnns_tpu.parallel.sharding import (
+        make_sharded_epoch_fn, shard_hybrid_graph,
+    )
+
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                 train=TrainConfig(lr=5e-2, fullgraph_steps=2))
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    e = tiny_data.edge_index
+    node_part = _node_part(tiny_data)
+    plan = ShardPlan.create(nu, ni, pm=4)
+    g = shard_hybrid_graph(e, plan, node_part, 4, align=8)
+    uv = forward_half(e, nu)
+    user = jnp.asarray(uv[0].astype(np.int32))
+    pos = jnp.asarray(uv[1].astype(np.int32))  # forward_half is item-space
+
+    params = pad_params(init_params(jax.random.PRNGKey(0), nu, ni, 8), plan)
+    adam = optax.adam(cfg.train.lr)
+    state = (params, adam.init(params), jnp.zeros((), jnp.int32))
+    epoch = make_sharded_epoch_fn(cfg, mesh, plan, opt=adam, hybrid=True,
+                                  symmetric=True)(state)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        state, loss = epoch(state, g, user, pos, sub)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
