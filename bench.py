@@ -35,6 +35,55 @@ enable_compilation_cache()
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
+# Peak specs per device kind: (peak bf16 matmul FLOP/s, peak HBM bytes/s).
+# v5e ("TPU v5 lite"): 197 bf16 TFLOP/s, 819 GB/s HBM (public spec sheet).
+PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6e": (918e12, 1640e9),
+}
+
+
+def device_peaks():
+    """(device_kind, peak_flops, peak_hbm_Bps) for jax device 0; defaults to
+    v5e numbers for unknown kinds (this environment's chip is 'TPU v5 lite')."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAKS.items():
+        if k.lower() in kind.lower():
+            return kind, v[0], v[1]
+    return kind, *PEAKS["TPU v5 lite"]
+
+
+def xla_cost(compiled):
+    """(flops, bytes_accessed) from XLA's cost analysis of a compiled program.
+
+    These are optimized-HLO estimates: FLOPs are exact for dot/conv ops;
+    'bytes accessed' counts logical operand/result traffic, an upper bound on
+    real HBM traffic (fusion keeps some of it in VMEM/registers). Pallas
+    custom calls contribute the cost_estimate they declare (or 0) — for this
+    workload the propagation matmuls and Adam table updates dominate and are
+    pure XLA, so the estimate is representative."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def utilization(flops, bytes_acc, secs):
+    """Dict of achieved TFLOP/s, HBM GB/s, and fractions of device peak."""
+    kind, pf, pb = device_peaks()
+    return {
+        "achieved_tflops": round(flops / secs / 1e12, 3),
+        "mfu": round(flops / secs / pf, 5),
+        "achieved_hbm_gbps": round(bytes_acc / secs / 1e9, 1),
+        "hbm_util": round(bytes_acc / secs / pb, 4),
+    }
+
 SCALES = {
     # users, items, interactions, clusters, layers, dim
     # full: ml-25m statistics (162,541 users / 59,047 movies; power-law with 200
@@ -119,12 +168,33 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
     state = create_train_state(cfg, data.num_users, data.num_items)
     key = jax.random.PRNGKey(0)
 
+    # which loss-kernel path will the compiled epoch actually run? The fused
+    # Pallas kernel falls back to the XLA path (with a warning) when the
+    # cluster tables exceed its VMEM budget — record ground truth, don't guess
+    # (VERDICT r1: the 1.25 fitted VMEM factor must be observable in benches)
+    paths = {"loss": "xla", "adjacency": "unknown", "mips": "pallas"}
+    if trainer == "compact":
+        paths["adjacency"] = "dense-mxu" if dense else "coo-segment-sum"
+
+    # XLA cost analysis of the EXACT program we time (AOT lower+compile of the
+    # same jitted fn with the same arg shapes → same executable cache entry)
+    key, sub0 = jax.random.split(key)
+    flops, bytes_acc = xla_cost(epoch_fn.lower(state, stacked, sub0).compile())
+
     # warmup epoch compiles the fused scan program
+    import warnings as _warnings
+
     t0 = time.time()
     key, sub = jax.random.split(key)
-    state, loss = epoch_fn(state, stacked, sub)
-    float(loss)
-    sys.stderr.write(f"[bench] warmup epoch (incl. compile): {time.time()-t0:.1f}s\n")
+    with _warnings.catch_warnings(record=True) as wlog:
+        _warnings.simplefilter("always")
+        state, loss = epoch_fn(state, stacked, sub)
+        float(loss)
+    fell_back = any("fused_bpr disabled" in str(w.message) for w in wlog)
+    if cfg.train.fused_bpr and not fell_back:
+        paths["loss"] = "pallas-fused-bpr"
+    sys.stderr.write(f"[bench] warmup epoch (incl. compile): {time.time()-t0:.1f}s; "
+                     f"kernel paths: {paths}\n")
 
     times = []
     for _ in range(epochs):
@@ -135,7 +205,104 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
         times.append(time.time() - t0)
     sys.stderr.write(f"[bench] epoch times: {[f'{t:.2f}' for t in times]}, "
                      f"final loss {loss:.4f}\n")
-    return min(times)
+    best = min(times)
+    util = utilization(flops, bytes_acc, best)
+    sys.stderr.write(f"[bench] epoch cost: {flops/1e12:.2f} TFLOP, "
+                     f"{bytes_acc/1e9:.1f} GB accessed -> {util}\n")
+    return best, util, paths
+
+
+def bench_sharded_epoch(data, scale, epochs=2):
+    """The multi-chip scaling path timed on the real chip at mesh (1,1).
+
+    Runs ``parallel/sharding.py::make_sharded_epoch_fn`` — hybrid dense-MXU
+    diagonal blocks + COO remainder, symmetric-Â VJP, shuffle + scan of
+    shard_map steps in one program — so BENCH records the constant factor of
+    the code path that scales, next to the single-chip compact headline
+    (VERDICT r1 item 2). Returns ``(epoch_s, util, extras)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig, TrainConfig
+    from movie_recommender_system_with_gnns_tpu.data.partition import (
+        forward_half, partition_assignments,
+    )
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.parallel.mesh import make_mesh
+    from movie_recommender_system_with_gnns_tpu.parallel.sharding import (
+        ShardPlan, make_sharded_epoch_fn, pad_params, shard_hybrid_graph,
+    )
+
+    nu, ni = data.num_users, data.num_items
+    n = nu + ni
+    cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]),
+                 train=TrainConfig(symmetric_vjp=True))
+    mesh = make_mesh(data_parallel=1, model_parallel=1)
+    plan = ShardPlan.create(nu, ni, pm=1)
+
+    t0 = time.time()
+    uv = forward_half(data.edge_index, nu)
+    # the block width (max nodes per part) caps VMEM/HBM for the dense blocks;
+    # if the partitioner's item-plurality step skews a part too wide, re-cut
+    # with more parts until every block fits
+    num_parts = scale["clusters"]
+    while True:
+        pu, pi = partition_assignments(data.edge_index, nu, n, num_parts,
+                                       seed=0, balance_tol=1.1, uv=uv)
+        try:
+            hg = shard_hybrid_graph(data.edge_index, plan,
+                                    np.concatenate([pu, pi]), num_parts)
+            break
+        except ValueError:
+            num_parts *= 2
+            if num_parts > 1024:
+                raise
+    sys.stderr.write(
+        f"[bench] sharded hybrid graph: {num_parts} parts, block width "
+        f"{hg.blk_adj.shape[-1]}, off-diag E_shard {hg.src.shape[1]} "
+        f"(built in {time.time()-t0:.1f}s)\n")
+
+    params = pad_params(init_params(jax.random.PRNGKey(0), nu, ni, scale["dim"]),
+                        plan)
+    opt = optax.adam(cfg.train.lr)
+    state = (params, opt.init(params), jnp.zeros((), jnp.int32))
+    epoch = make_sharded_epoch_fn(cfg, mesh, plan, opt=opt, hybrid=True,
+                                  symmetric=True)(state)
+    user = jnp.asarray(uv[0].astype(np.int32))
+    pos = jnp.asarray(uv[1].astype(np.int32))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    state, loss = epoch(state, hg, user, pos, sub)
+    float(loss)
+    sys.stderr.write(f"[bench] sharded warmup epoch (incl. compile): "
+                     f"{time.time()-t0:.1f}s\n")
+
+    # AOT-lower the same inner program for XLA cost analysis
+    sp = epoch.last_plan
+    padded = jax.ShapeDtypeStruct((sp["num_steps"] * sp["batch"],), jnp.int32)
+    flops, bytes_acc = xla_cost(
+        epoch.inner.lower(state, hg, padded, padded, sub, **sp).compile())
+
+    times = []
+    for _ in range(epochs):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, loss = epoch(state, hg, user, pos, sub)
+        loss = float(loss)
+        times.append(time.time() - t0)
+    sys.stderr.write(f"[bench] sharded epoch times: "
+                     f"{[f'{t:.2f}' for t in times]}, final loss {loss:.4f}\n")
+    best = min(times)
+    util = utilization(flops, bytes_acc, best)
+    sys.stderr.write(f"[bench] sharded epoch cost: {flops/1e12:.2f} TFLOP, "
+                     f"{bytes_acc/1e9:.1f} GB accessed -> {util}\n")
+    extras = {"steps_per_epoch": sp["num_steps"], "batch": sp["batch"],
+              "parts": num_parts, "block_width": int(hg.blk_adj.shape[-1])}
+    return best, util, extras
 
 
 def bench_torch_cpu_epoch(data, parts, scale, max_clusters=None):
@@ -228,7 +395,16 @@ def bench_serving(data, scale, batch=1024, iters=20):
             s, i = serve(q)
         float(s[0, 0])
         best = min(best, (time.time() - t0) / iters)
-    return q.shape[0] / best  # actual batch: user_emb may have < `batch` rows
+    b, d = q.shape
+    items = params.item_emb.shape[0]
+    # analytic cost (XLA cost analysis can't see inside the Pallas kernel):
+    # the score matmul is 2·B·I·d FLOPs; HBM traffic is one catalog read +
+    # queries + top-k outputs per call (queries/catalog tiles stream VMEM)
+    flops = 2.0 * b * items * d
+    bytes_acc = 4.0 * (items * d + b * d + 2 * b * 10)
+    util = {f"mips_{k}": v for k, v in utilization(flops, bytes_acc, best).items()}
+    sys.stderr.write(f"[bench] mips kernel: {util}\n")
+    return b / best, util  # actual batch: user_emb may have < `batch` rows
 
 
 def get_baseline(data, parts, scale, scale_name):
@@ -254,11 +430,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--trainer", default="compact", choices=["compact", "full"])
+    ap.add_argument("--skip-sharded", action="store_true")
     args = ap.parse_args()
     scale = SCALES[args.scale]
 
     data, parts = build_problem(scale)
-    epoch_s = bench_tpu_epoch(data, parts, scale, epochs=args.epochs, trainer=args.trainer)
+    epoch_s, util, paths = bench_tpu_epoch(data, parts, scale, epochs=args.epochs,
+                                           trainer=args.trainer)
 
     if args.skip_baseline:
         baseline_s = None
@@ -267,10 +445,24 @@ def main():
         sys.stderr.write(f"[bench] torch-CPU baseline epoch: {baseline_s:.1f}s"
                          f" ({'cached' if cached else 'measured'})\n")
 
-    serving_qps = bench_serving(data, scale)
+    sharded = {}
+    if not args.skip_sharded:
+        sh_s, sh_util, sh_extras = bench_sharded_epoch(data, scale,
+                                                       epochs=max(args.epochs - 1, 1))
+        sharded = {
+            "sharded_1chip_epoch_s": round(sh_s, 4),
+            "sharded_mfu": sh_util["mfu"],
+            "sharded_hbm_util": sh_util["hbm_util"],
+            "sharded_achieved_tflops": sh_util["achieved_tflops"],
+        }
+        paths["sharded_prop"] = (f"hybrid-mxu[{sh_extras['parts']}x"
+                                 f"{sh_extras['block_width']}]+coo, symmetric-vjp")
+
+    serving_qps, mips_util = bench_serving(data, scale)
     sys.stderr.write(f"[bench] serving: {serving_qps:.0f} queries/s "
                      f"(batch-1024 top-10 over {data.num_items} items)\n")
 
+    kind, pf, pb = device_peaks()
     edges = data.edge_index.shape[1]
     result = {
         "metric": f"ml25m_epoch_time_s" if args.scale == "full" else f"{args.scale}_epoch_time_s",
@@ -279,6 +471,20 @@ def main():
         "vs_baseline": round(baseline_s / epoch_s, 2) if baseline_s else None,
         "edges_per_s": round(edges / epoch_s),
         "serving_qps_top10": round(serving_qps),
+        # utilization vs device peak (bf16 matmul FLOP/s, HBM B/s). The train
+        # epoch is row-op/HBM-bound by design (Adam table updates + gathers),
+        # so hbm_util is the meaningful number; MIPS is the MXU showcase.
+        "mfu": util["mfu"],
+        "hbm_util": util["hbm_util"],
+        "achieved_tflops": util["achieved_tflops"],
+        "achieved_hbm_gbps": util["achieved_hbm_gbps"],
+        "mips_mfu": mips_util["mips_mfu"],
+        "mips_achieved_tflops": mips_util["mips_achieved_tflops"],
+        **sharded,
+        "device": kind,
+        "peak_tflops_bf16": pf / 1e12,
+        "peak_hbm_gbps": pb / 1e9,
+        "kernel_paths": paths,
         "config": f"LightGCN L={scale['layers']} d={scale['dim']} "
                   f"clusters={scale['clusters']} U={data.num_users} I={data.num_items} E={edges}",
         "baseline": "torch-cpu reference-math epoch (no GPU available; reference publishes no numbers)",

@@ -398,6 +398,14 @@ def make_sharded_train_step(
         scale = 1.0 / (k1 * k1) if readout == "reference" else 1.0 / k1
         return acc_u * scale, acc_i * scale
 
+    # Why no fused Pallas BPR here (it IS wired into the compact trainers,
+    # incl. data-parallel): the kernel keeps the [propagated ‖ initial] tables
+    # VMEM-resident across its grid (ops/pallas_bpr.py), which works because a
+    # compact cluster's tables are ≤2 MB. This trainer's loss runs on the
+    # FULL-catalog gathered tables — (U+I)·2d·4 ≈ 227 MB at ML-25M d=64 —
+    # 14× over the 16 MB VMEM ceiling, so fused_bpr_supported() is
+    # structurally never true at the scales this path exists for. The
+    # fused-gather trick below recovers most of the win on the XLA path.
     def local_loss(params: LightGCNParams, graph_shard, batch: TripletBatch,
                    neg: jax.Array) -> jax.Array:
         if hybrid:
@@ -547,9 +555,14 @@ def make_sharded_epoch_fn(
                 user = jnp.concatenate([user, jnp.zeros((pad,), user.dtype)])
                 pos_item = jnp.concatenate(
                     [pos_item, jnp.zeros((pad,), pos_item.dtype)])
+            # expose the compiled program's static plan so benchmarks can AOT
+            # lower the SAME program for XLA cost analysis (bench.py MFU/HBM)
+            epoch_fn.last_plan = dict(e_real=e_real, num_steps=num_steps,
+                                      batch=batch)
             return epoch_inner(state, graph, user, pos_item, key,
                                e_real=e_real, num_steps=num_steps, batch=batch)
 
+        epoch_fn.inner = epoch_inner
         return epoch_fn
 
     return build
