@@ -236,6 +236,73 @@ def _propagate_local(emb, src, dst, w, adj, num_layers, n_local):
     return acc
 
 
+def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
+                  pos_local, mask, cfg: Config, i_pad: int, scale: float,
+                  allow_fused: bool = True) -> jax.Array:
+    """Shared compact-space BPR dispatch: fused Pallas kernel when enabled and
+    the cluster tables fit its VMEM budget, XLA row-op path otherwise.
+
+    ``neg`` is (B,) or (B, K) for K negatives per positive; ``ni`` its gathered
+    initial rows. The fused kernel is single-negative: K>1 flattens to B·K
+    triplets with users/positives repeated — exactly equivalent, because both
+    masked means in the reference loss decompose over the expansion
+    (ops/bpr.py::bpr_loss means over B·d reg entries and over B pairwise rows;
+    with u/p repeated K times those equal the B·K-expanded means).
+    """
+    d = u_rows.shape[1]
+    use_fused = (allow_fused and cfg.train.fused_bpr
+                 and cfg.train.loss in ("reference", "standard"))
+    if use_fused:
+        from ..ops.pallas_bpr import fused_bpr_loss, fused_bpr_supported
+
+        if not fused_bpr_supported(fu.shape[0], i_pad, d):
+            import warnings
+
+            warnings.warn(
+                f"fused_bpr disabled: cluster tables (u_pad={fu.shape[0]}, "
+                f"i_pad={i_pad}) exceed the kernel's VMEM budget — using the "
+                "XLA loss path (more clusters re-enable the kernel)",
+                stacklevel=2)
+            use_fused = False
+    if use_fused:
+        if neg.ndim == 2:
+            kneg = neg.shape[1]
+            ul_x = jnp.repeat(user_local, kneg)
+            pl_x = jnp.repeat(pos_local, kneg)
+            m_x = jnp.repeat(mask, kneg)
+            neg_x = neg.reshape(-1)
+            ni_x = ni.reshape(-1, d)
+        else:
+            ul_x, pl_x, m_x, neg_x, ni_x = user_local, pos_local, mask, neg, ni
+        loc = jnp.clip(jnp.searchsorted(item_ids, neg_x), 0, i_pad - 1)
+        in_cluster = item_ids[loc] == neg_x
+        # single fused Pallas pass: loss + all embedding gradients
+        # (ops/pallas_bpr.py); the only XLA row ops left are the global
+        # negative-row gather/scatter and the cluster-row table updates
+        return fused_bpr_loss(fu, u_rows, fi, i_rows, ni_x, ul_x, pl_x, loc,
+                              in_cluster, m_x, scale=scale,
+                              bpr_coeff=cfg.train.bpr_coeff,
+                              loss=cfg.train.loss)
+
+    # gather (final ‖ initial) in ONE row op per index set: TPU gather/scatter
+    # cost is per-ROW (~24ns/row measured, independent of width up to 128
+    # lanes), so fusing the two same-index gathers halves the dominant cost of
+    # the step; splitting the 128-wide result is free
+    u_cat = jnp.concatenate([fu, u_rows], axis=1)[user_local]    # (B, 2d)
+    uf, ui = u_cat[:, :d], u_cat[:, d:]
+    p_cat = jnp.concatenate([fi, i_rows], axis=1)[pos_local]
+    pf, pi = p_cat[:, :d], p_cat[:, d:]
+    # negatives over the FULL catalog (reference helpers.py:79-80): in-cluster
+    # negatives take the propagated row; out-of-cluster ones are isolated under
+    # cluster propagation → final = table_row · scale analytically
+    loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
+    in_cluster = item_ids[loc] == neg
+    nf = jnp.where(in_cluster[..., None], fi[loc], ni * scale)
+
+    loss_fn = select_bpr_loss(cfg.train.loss)
+    return loss_fn(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=mask)
+
+
 def compact_cluster_loss(
     params: LightGCNParams,
     cluster: Tuple,
@@ -249,6 +316,7 @@ def compact_cluster_loss(
 
     Matches ``training.train.compute_loss`` over the same cluster with global
     propagation (tests/test_compact.py::test_compact_matches_full_space).
+    ``neg`` may be (B,) or (B, K) — K uniform negatives per positive.
     """
     (user_ids, item_ids, src, dst, w, user_local, pos_local, mask) = cluster
     n_local = u_pad + i_pad
@@ -263,48 +331,9 @@ def compact_cluster_loss(
     final = acc.astype(jnp.float32) * scale
     fu, fi = final[:u_pad], final[u_pad:]
 
-    if cfg.train.fused_bpr and cfg.train.loss in ("reference", "standard"):
-        from ..ops.pallas_bpr import fused_bpr_loss, fused_bpr_supported
-
-        if not fused_bpr_supported(u_pad, i_pad, params.user_emb.shape[1]):
-            import warnings
-
-            warnings.warn(
-                f"fused_bpr disabled: cluster tables (u_pad={u_pad}, "
-                f"i_pad={i_pad}) exceed the kernel's VMEM budget — using the "
-                "XLA loss path (more clusters re-enable the kernel)",
-                stacklevel=2)
-        else:
-            # single fused Pallas pass: loss + all embedding gradients
-            # (ops/pallas_bpr.py); the only XLA row ops left are the global
-            # negative-row gather/scatter and the cluster-row table updates
-            ni = params.item_emb[neg]
-            loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
-            in_cluster = item_ids[loc] == neg
-            return fused_bpr_loss(fu, u_rows, fi, i_rows, ni, user_local,
-                                  pos_local, loc, in_cluster, mask,
-                                  scale=scale, bpr_coeff=cfg.train.bpr_coeff,
-                                  loss=cfg.train.loss)
-
-    # gather (final ‖ initial) in ONE row op per index set: TPU gather/scatter
-    # cost is per-ROW (~24ns/row measured, independent of width up to 128
-    # lanes), so fusing the two same-index gathers halves the dominant cost of
-    # the step; splitting the 128-wide result is free
-    d = u_rows.shape[1]
-    u_cat = jnp.concatenate([fu, u_rows], axis=1)[user_local]    # (B, 2d)
-    uf, ui = u_cat[:, :d], u_cat[:, d:]
-    p_cat = jnp.concatenate([fi, i_rows], axis=1)[pos_local]
-    pf, pi = p_cat[:, :d], p_cat[:, d:]
-    # negatives over the FULL catalog (reference helpers.py:79-80): in-cluster
-    # negatives take the propagated row; out-of-cluster ones are isolated under
-    # cluster propagation → final = table_row · scale analytically
     ni = params.item_emb[neg]
-    loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
-    in_cluster = item_ids[loc] == neg
-    nf = jnp.where(in_cluster[:, None], fi[loc], ni * scale)
-
-    loss_fn = select_bpr_loss(cfg.train.loss)
-    return loss_fn(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=mask)
+    return _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids,
+                         user_local, pos_local, mask, cfg, i_pad, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -383,14 +412,12 @@ def make_compact_lazy_epoch_fn(cfg: Config):
                                    cfg.model.num_layers, n_local)
             final = acc.astype(jnp.float32) * scale
             fu, fi = final[:cc.u_pad], final[cc.u_pad:]
-            uf, ui = fu[user_local], u_rows[user_local]
-            pf, pi = fi[pos_local], i_rows[pos_local]
-            loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, cc.i_pad - 1)
-            in_cluster = item_ids[loc] == neg
-            nf = jnp.where(in_cluster[:, None], fi[loc], n_rows * scale)
-            loss_fn = select_bpr_loss(cfg.train.loss)
-            return loss_fn(uf, ui, pf, pi, nf, n_rows, cfg.train.bpr_coeff,
-                           mask=mask)
+            # shared dispatch — the fused Pallas kernel works here too: its
+            # custom VJP yields grads wrt (fu, u_rows, fi, i_rows, n_rows) and
+            # autodiff chains them through the propagation to the row args
+            return _triplet_loss(fu, u_rows, fi, i_rows, n_rows, neg,
+                                 item_ids, user_local, pos_local, mask,
+                                 cfg, cc.i_pad, scale)
 
         def body(carry, x):
             params, ost = carry
@@ -398,7 +425,8 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             ecount = x[8]
             user_valid, item_valid, nk, adj = x[9], x[10], x[11], x[12]
             user_ids, item_ids = cluster[0], cluster[1]
-            neg = sample_negative(nk, cluster[5].shape[0], num_items)
+            neg = sample_negative(nk, cluster[5].shape[0], num_items,
+                                  num=cfg.train.num_negatives)
 
             u_rows = params.user_emb[user_ids]
             i_rows = params.item_emb[item_ids]
@@ -425,8 +453,10 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             ie, mu_i, nu_i = _lazy_row_update(
                 params.item_emb, ost.mu.item_emb, ost.nu.item_emb,
                 item_ids, gi, item_valid, lr_t, b1, b2, eps, cscale)
-            neg_valid = jnp.ones(neg.shape[0], bool)
-            ie, mu_i, nu_i = _lazy_row_update(ie, mu_i, nu_i, neg, gn,
+            neg_flat = neg.reshape(-1)                     # (B,) or (B·K,)
+            gn_flat = gn.reshape(neg_flat.shape[0], -1)
+            neg_valid = jnp.ones(neg_flat.shape[0], bool)
+            ie, mu_i, nu_i = _lazy_row_update(ie, mu_i, nu_i, neg_flat, gn_flat,
                                               neg_valid, lr_t, b1, b2, eps, cscale)
 
             new_params = LightGCNParams(ue, ie)
@@ -448,21 +478,14 @@ def create_lazy_train_state(cfg: Config, params: LightGCNParams) -> TrainState:
 
 
 def make_compact_epoch_fn(cfg: Config):
-    """One fused ``lax.scan`` pass over all compact clusters per call."""
-    if cfg.train.num_negatives > 1:
-        import warnings
+    """One fused ``lax.scan`` pass over all compact clusters per call.
 
-        warnings.warn(
-            f"compact trainer ignores num_negatives={cfg.train.num_negatives}: "
-            "its local-space loss samples exactly 1 negative per positive "
-            "(use trainer='fullgraph' or 'full' for K>1)", stacklevel=2)
+    The full train-config matrix is supported here: ``num_negatives > 1``
+    (K uniform global negatives per positive, out-of-cluster finals analytic),
+    ``fused_bpr`` under both adam and lazy_adam (the kernel's custom VJP chains
+    through the propagation), and any ``loss``/``readout`` combination.
+    """
     if cfg.train.optimizer == "lazy_adam":
-        if cfg.train.fused_bpr:
-            import warnings
-
-            warnings.warn(
-                "fused_bpr is not wired into the lazy_adam trainer — the "
-                "lazy row-update epoch uses the XLA loss path", stacklevel=2)
         return make_compact_lazy_epoch_fn(cfg)
     opt = make_optimizer(cfg)
 
@@ -484,7 +507,8 @@ def make_compact_epoch_fn(cfg: Config):
             st = carry
             cluster = x[:8]
             ecount, nk, adj = x[8], x[9], x[10]
-            neg = sample_negative(nk, cluster[5].shape[0], num_items)
+            neg = sample_negative(nk, cluster[5].shape[0], num_items,
+                                  num=cfg.train.num_negatives)
             loss, grads = jax.value_and_grad(compact_cluster_loss)(
                 st.params, cluster, neg, cfg, cc.u_pad, cc.i_pad, adj)
             updates, opt_state = opt.update(grads, st.opt_state, st.params)
