@@ -73,6 +73,19 @@ def prepare_training_data(
     Returns ``(data, clusters, (val_graph, val_batch), (test_graph, test_batch))``.
     """
     if data is None:
+        if cfg.data.dataset != "synthetic" and not _csvs_exist(cfg):
+            # real dataset requested but no CSVs on disk: attempt the download
+            # (reference dataset_handler.py:26-64). The environment may have no
+            # network egress — report that loudly and fall back to synthetic so
+            # the moment egress exists this path lights up with real data.
+            from ..data.movielens import download_and_extract_dataset
+
+            try:
+                download_and_extract_dataset(cfg.data.data_dir, cfg.data.dataset)
+            except (RuntimeError, KeyError) as e:
+                print(f"[data] REAL DATASET UNAVAILABLE ({e}); "
+                      f"falling back to the SYNTHETIC generator — quality/perf "
+                      f"numbers from this run are on synthetic data")
         if cfg.data.dataset == "synthetic" or not _csvs_exist(cfg):
             data = make_synthetic_movielens(
                 cfg.data.synthetic_users,
