@@ -62,7 +62,13 @@ def _onehot_spmm_kernel(nbr_ref, w_ref, emb_ref, out_ref):
     for k in range(w_width):                               # static unroll
         match = (rel[:, k][:, None] == col_ids).astype(jnp.float32)
         a = a + w_ref[:, k][:, None] * match
-    out_ref[:] += jnp.dot(a, emb_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: 3-pass bf16 emulation gives exact-f32 results (~2e-5 vs the
+    # default single pass's ~4e-3 at unit scale, measured on v5e). The kernel
+    # is VPU-bound on the one-hot build, so the extra MXU passes are ~free —
+    # and this path's reason to exist next to the bf16 hybrid blocks is
+    # exactness (on-chip golden test: tests/test_tpu_kernels.py).
+    out_ref[:] += jnp.dot(a, emb_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 W_UNROLL_MAX = 32  # compare/FMA unroll bound inside the kernel
@@ -122,10 +128,11 @@ def spmm_ell_pallas(ell: DeviceELL, emb: jax.Array) -> jax.Array:
     """Pallas one-hot SpMM over the degree-bucketed ELL blocks (small-graph
     regime; see module docstring). API-compatible with ops.spmm.spmm_ell.
 
-    Precision: the in-kernel one-hot matmul rides the MXU, whose f32 matmul
-    rounds operands toward bf16 at default precision (~4e-3 abs at unit-scale
-    inputs on v5e) — the same trade the hybrid trainer's dense blocks make.
-    The XLA ELL/segment paths are full f32."""
+    Precision: the in-kernel dot runs at ``Precision.HIGHEST`` (3-pass bf16
+    emulation → exact-f32 results, matching the XLA ELL/segment paths; the
+    kernel is VPU-bound on the one-hot build so the extra passes are ~free).
+    The hybrid trainer's dense blocks keep bf16 operands for speed — that
+    trade lives there, not here."""
     outs = []
     for blk in ell.blocks:
         outs.append(_ell_block_call(emb, blk.nbr, blk.w))
