@@ -21,7 +21,7 @@ import optax
 from ..config import Config
 from ..models.lightgcn import LightGCNParams, init_params
 from ..ops.sampling import TripletBatch, triplets_from_edges
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import distributed_init, make_mesh
 from ..parallel.sharding import (
     ShardPlan, make_sharded_train_step, pad_batch, pad_params, shard_graph,
     unpad_params,
@@ -42,6 +42,10 @@ def train_model_sharded(
 ) -> Tuple[LightGCNParams, Dict[str, List[float]]]:
     """Multi-epoch sharded training; returns UNPADDED params + histories."""
     if mesh is None:
+        # Multi-host bring-up must happen before the mesh enumerates devices:
+        # jax.distributed.initialize() is what makes jax.devices() global. A
+        # no-op single-process / when the caller already built a mesh.
+        distributed_init()
         mesh = make_mesh(cfg.mesh.data_parallel, cfg.mesh.model_parallel)
     pm = mesh.shape["model"]
     pd = mesh.shape["data"]

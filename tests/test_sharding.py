@@ -271,3 +271,31 @@ def test_sharded_epoch_fn_learns(tiny_data, mesh):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_distributed_init_single_process_noop(capsys):
+    """Multi-host bring-up smoke (round-1 verdict item 6): with no coordinator
+    arg and no cluster env, distributed_init must return without touching
+    jax.distributed; with an explicit coordinator on a single host it must
+    swallow the RuntimeError/ValueError rather than crash the trainer."""
+    import os
+
+    from movie_recommender_system_with_gnns_tpu.parallel.mesh import (
+        distributed_init,
+    )
+
+    for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"):
+        assert k not in os.environ, f"test env unexpectedly has {k}"
+    n_before = jax.device_count()
+    distributed_init()                      # pure no-op path
+    assert jax.device_count() == n_before
+
+    # Explicit single-process bring-up: jax.distributed.initialize(addr, 1, 0)
+    # either succeeds (single-host cluster of 1) or raises because a backend
+    # already exists — both must leave the trainer able to proceed.
+    distributed_init("localhost:0", num_processes=1, process_id=0)
+    assert jax.device_count() == n_before
+    out = capsys.readouterr().out
+    # if it was skipped, the skip must be reported, not silent
+    if "distributed_init skipped" in out:
+        assert "skipped:" in out
