@@ -109,13 +109,19 @@ def cmd_train(args) -> int:
     if args.full_eval:
         from .training.evaluate import evaluate_full_ranking
 
+        mesh = None
+        if args.mesh:  # reuse the training mesh layout for sharded eval
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.mesh.data_parallel, cfg.mesh.model_parallel)
         train_e, val_e, test_e = bundle.splits
         recall, ndcg = evaluate_full_ranking(
             state.params, train_e, test_e, data.num_users, k=args.full_eval_k,
-            max_users=args.full_eval_users)
+            max_users=args.full_eval_users, mesh=mesh)
         print(f"Full-ranking test Recall@{args.full_eval_k}: {recall:.4f}, "
               f"NDCG@{args.full_eval_k}: {ndcg:.4f}")
-        logger.log(cfg.train.epochs, test_full_recall=recall, test_full_ndcg=ndcg)
+        logger.log(cfg.train.epochs, test_full_recall=recall,
+                   test_full_ndcg=ndcg, **evaluate_full_ranking.last_timings)
     try:
         from .utils.visualizations import plot_histories
 

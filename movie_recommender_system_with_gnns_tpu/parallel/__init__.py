@@ -4,8 +4,8 @@ from .mesh import (
 )
 from .sharding import (
     ShardPlan, ShardedGraph, ShardedHybrid, make_sharded_epoch_fn,
-    make_sharded_mips, make_sharded_train_step, pad_batch, pad_params,
-    shard_graph, shard_hybrid_graph, unpad_params,
+    make_sharded_mips, make_sharded_propagate, make_sharded_train_step,
+    pad_batch, pad_params, shard_graph, shard_hybrid_graph, unpad_params,
 )
 
 __all__ = [
@@ -14,5 +14,5 @@ __all__ = [
     "ShardPlan", "ShardedGraph", "ShardedHybrid", "shard_graph",
     "shard_hybrid_graph", "pad_params", "unpad_params",
     "pad_batch", "make_sharded_train_step", "make_sharded_epoch_fn",
-    "make_sharded_mips",
+    "make_sharded_mips", "make_sharded_propagate",
 ]

@@ -270,36 +270,14 @@ def state_specs(state, plan: ShardPlan):
     return jax.tree.map(spec, state)
 
 
-def make_sharded_train_step(
-    cfg: Config,
-    mesh: Mesh,
-    plan: ShardPlan,
-    opt: Optional[optax.GradientTransformation] = None,
-    hybrid: bool = False,
-    symmetric: Optional[bool] = None,
-):
-    """Build the shard_map'd train step.
-
-    Signature: ``step(state, graph, batch, neg) -> (state, loss)`` where state
-    holds PADDED tables and ``graph`` is a :class:`ShardedGraph` (gather-path
-    propagation) or, with ``hybrid=True``, a :class:`ShardedHybrid` (dense
-    MXU diagonal blocks + gather remainder — the single-chip fullgraph
-    trainer's kernel ported to the mesh). ``symmetric`` enables the
-    symmetric-Â custom VJP per layer (backward reuses the forward collective
-    program; requires a mirror-complete edge list —
-    ``data.graph.adjacency_is_symmetric``); None defaults to
-    ``cfg.train.symmetric_vjp``. Numerically matches the single-device
-    trainers (tests/test_sharding.py).
-    """
-    if opt is None:
-        opt = optax.adam(cfg.train.lr, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
-                         eps=cfg.train.adam_eps)
-    pm = plan.pm
+def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
+    """Shared K-layer sharded propagation closures (run INSIDE shard_map over
+    the model axis). Returns ``(local_propagate, local_propagate_hybrid)``;
+    both map local table shards → local FINAL rows. Used by the train step and
+    by :func:`make_sharded_propagate` (serving/eval tables) so the two paths
+    cannot drift."""
     num_layers = cfg.model.num_layers
     readout = cfg.model.readout
-    if symmetric is None:
-        symmetric = bool(cfg.train.symmetric_vjp)
-
     spmm_chunks = max(int(getattr(cfg.train, "spmm_chunks", 1)), 1)
 
     def local_propagate(u_shard, i_shard, src, dst_local, w):
@@ -397,6 +375,78 @@ def make_sharded_train_step(
         k1 = num_layers + 1
         scale = 1.0 / (k1 * k1) if readout == "reference" else 1.0 / k1
         return acc_u * scale, acc_i * scale
+
+    return local_propagate, local_propagate_hybrid
+
+
+def make_sharded_propagate(
+    cfg: Config,
+    mesh: Mesh,
+    plan: ShardPlan,
+    hybrid: bool = False,
+    symmetric: bool = False,
+):
+    """Jitted sharded K-layer propagation for SERVING / full-ranking eval
+    (round-1 verdict item 7): ``fn(padded_params, graph) -> LightGCNParams``
+    of FINAL propagated tables, still padded and row-sharded over 'model' so
+    downstream sharded MIPS/eval consume them without a host round-trip.
+
+    ``graph`` is a :class:`ShardedGraph` (default gather path — serving
+    propagation runs once per checkpoint, not hot) or :class:`ShardedHybrid`
+    with ``hybrid=True``. Numerically equal to the single-device
+    ``serving.recommend.compute_serving_tables(mode='propagated')``
+    (tests/test_sharding.py)."""
+    lp, lph = _make_local_propagates(cfg, plan, symmetric)
+
+    def fwd(params: LightGCNParams, graph):
+        if hybrid:
+            gs = (graph.src[0], graph.dst_local[0], graph.w[0],
+                  graph.blk_ids[0], graph.blk_adj[0])
+            fu_loc, fi_loc = lph(params.user_emb, params.item_emb, gs)
+        else:
+            fu_loc, fi_loc = lp(params.user_emb, params.item_emb,
+                                graph.src[0], graph.dst_local[0], graph.w[0])
+        return LightGCNParams(fu_loc, fi_loc)
+
+    table_spec = LightGCNParams(P(MODEL_AXIS, None), P(MODEL_AXIS, None))
+    if hybrid:
+        graph_specs = ShardedHybrid(*([P(MODEL_AXIS)] * 5))
+    else:
+        graph_specs = ShardedGraph(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS))
+    fn = jax.shard_map(fwd, mesh=mesh, in_specs=(table_spec, graph_specs),
+                       out_specs=table_spec)
+    return jax.jit(fn)
+
+
+def make_sharded_train_step(
+    cfg: Config,
+    mesh: Mesh,
+    plan: ShardPlan,
+    opt: Optional[optax.GradientTransformation] = None,
+    hybrid: bool = False,
+    symmetric: Optional[bool] = None,
+):
+    """Build the shard_map'd train step.
+
+    Signature: ``step(state, graph, batch, neg) -> (state, loss)`` where state
+    holds PADDED tables and ``graph`` is a :class:`ShardedGraph` (gather-path
+    propagation) or, with ``hybrid=True``, a :class:`ShardedHybrid` (dense
+    MXU diagonal blocks + gather remainder — the single-chip fullgraph
+    trainer's kernel ported to the mesh). ``symmetric`` enables the
+    symmetric-Â custom VJP per layer (backward reuses the forward collective
+    program; requires a mirror-complete edge list —
+    ``data.graph.adjacency_is_symmetric``); None defaults to
+    ``cfg.train.symmetric_vjp``. Numerically matches the single-device
+    trainers (tests/test_sharding.py).
+    """
+    if opt is None:
+        opt = optax.adam(cfg.train.lr, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2,
+                         eps=cfg.train.adam_eps)
+    pm = plan.pm
+    if symmetric is None:
+        symmetric = bool(cfg.train.symmetric_vjp)
+    local_propagate, local_propagate_hybrid = _make_local_propagates(
+        cfg, plan, symmetric)
 
     # Why no fused Pallas BPR here (it IS wired into the compact trainers,
     # incl. data-parallel): the kernel keeps the [propagated ‖ initial] tables

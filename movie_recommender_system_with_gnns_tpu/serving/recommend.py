@@ -34,6 +34,7 @@ def compute_serving_tables(
     cfg=None,
     mode: str = "layer0",
     chunk_budget_bytes: int = 2 << 30,
+    mesh=None,
 ):
     """Embedding tables used for retrieval scoring.
 
@@ -42,6 +43,12 @@ def compute_serving_tables(
     ``mode='propagated'`` runs the K-layer propagation over the train graph
     first (the LightGCN-paper serving protocol), which typically ranks better;
     offered as a beyond-reference option.
+
+    With ``mesh`` (a (data, model) ``jax.sharding.Mesh``), propagated tables
+    are computed by the row-sharded shard_map propagation
+    (parallel.sharding.make_sharded_propagate) — table shards stay on their
+    devices end-to-end; numerically equal to the single-device path
+    (tests/test_sharding.py).
     """
     if mode == "layer0":
         return params
@@ -49,6 +56,17 @@ def compute_serving_tables(
         raise ValueError(f"unknown serving mode {mode!r}")
     if train_edges is None or cfg is None:
         raise ValueError("propagated serving needs train_edges + cfg")
+    if mesh is not None:
+        from ..parallel.sharding import (
+            ShardPlan, make_sharded_propagate, pad_params, shard_graph,
+            unpad_params,
+        )
+
+        plan = ShardPlan.create(params.user_emb.shape[0],
+                                params.item_emb.shape[0], mesh.shape["model"])
+        graph = shard_graph(train_edges, plan)
+        fn = make_sharded_propagate(cfg, mesh, plan)
+        return unpad_params(fn(pad_params(params, plan), graph), plan)
     from ..data.graph import COOGraph
     from ..models.lightgcn import propagate
     from ..ops.spmm import DeviceCOO, make_spmm_chunked, spmm_segment

@@ -299,3 +299,51 @@ def test_distributed_init_single_process_noop(capsys):
     # if it was skipped, the skip must be reported, not silent
     if "distributed_init skipped" in out:
         assert "skipped:" in out
+
+
+def test_sharded_serving_tables_match_single_device(tiny_data, mesh):
+    """compute_serving_tables(mode='propagated') must give the same tables
+    whether it propagates on one device or row-sharded over the mesh."""
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        compute_serving_tables,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    params = init_params(jax.random.PRNGKey(3), nu, ni, cfg.model.dim)
+    ref = compute_serving_tables(params, tiny_data.edge_index, cfg,
+                                 mode="propagated")
+    sh = compute_serving_tables(params, tiny_data.edge_index, cfg,
+                                mode="propagated", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh.user_emb),
+                               np.asarray(ref.user_emb), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh.item_emb),
+                               np.asarray(ref.item_emb), rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_full_ranking_eval_parity(tiny_data, mesh, tmp_path):
+    """evaluate_full_ranking with a mesh (catalog sharded over all 8 devices,
+    per-shard top-k + merge) must reproduce the single-device metrics, for
+    layer-0 and propagated scoring, and must report its timing breakdown."""
+    from movie_recommender_system_with_gnns_tpu.data.movielens import split_edges
+    from movie_recommender_system_with_gnns_tpu.training.evaluate import (
+        evaluate_full_ranking,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    params = init_params(jax.random.PRNGKey(5), nu, ni, cfg.model.dim)
+    tr, va, te = split_edges(tiny_data, str(tmp_path / "idx"), seed=0)
+
+    for prop in (False, True):
+        r_ref, n_ref = evaluate_full_ranking(
+            params, tr, te, nu, k=10, batch_users=64,
+            use_propagated=prop, cfg=cfg)
+        r_sh, n_sh = evaluate_full_ranking(
+            params, tr, te, nu, k=10, batch_users=64,
+            use_propagated=prop, cfg=cfg, mesh=mesh)
+        assert abs(r_ref - r_sh) < 1e-6, (prop, r_ref, r_sh)
+        assert abs(n_ref - n_sh) < 1e-6, (prop, n_ref, n_sh)
+    t = evaluate_full_ranking.last_timings
+    assert t["sharded"] is True and t["eval_users"] > 0
+    assert t["total_s"] >= t["mask_build_s"] >= 0.0
