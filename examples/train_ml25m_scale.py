@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--num-negatives", type=int, default=1)
+    ap.add_argument("--negatives", default="uniform",
+                    choices=["uniform", "feasible"],
+                    help="feasible = exact rejection-resampled negatives "
+                         "(fullgraph trainer)")
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
     ap.add_argument("--balance-tol", type=float, default=0.0,
@@ -87,6 +91,7 @@ def main():
                           trainer=args.trainer,
                           fullgraph_steps=args.fullgraph_steps,
                           num_negatives=args.num_negatives,
+                          negatives=args.negatives,
                           partition_balance_tol=args.balance_tol, seed=args.seed,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),

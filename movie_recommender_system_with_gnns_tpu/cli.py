@@ -41,6 +41,7 @@ def _build_cfg(args) -> Config:
                         trainer=getattr(args, "trainer", "compact"),
                         fullgraph_steps=getattr(args, "fullgraph_steps", 16),
                         num_negatives=getattr(args, "num_negatives", 1),
+                        negatives=getattr(args, "negatives", "uniform"),
                         fused_bpr=getattr(args, "fused_bpr", False),
                         lr_schedule=getattr(args, "lr_schedule", "constant"),
                         lr_warmup_steps=getattr(args, "lr_warmup_steps", 0))
@@ -315,6 +316,11 @@ def main(argv=None) -> int:
     pt.add_argument("--lr-warmup-steps", type=int, default=0)
     pt.add_argument("--num-negatives", type=int, default=1,
                     help="negatives per positive (full/fullgraph trainers)")
+    pt.add_argument("--negatives", default="uniform",
+                    choices=["uniform", "feasible"],
+                    help="uniform = reference law (no collision check); "
+                         "feasible = exact rejection resampling against the "
+                         "train pair set (fullgraph trainer)")
     pt.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR loss+grad kernel (ops/pallas_bpr.py)")
     pt.add_argument("--full-eval", action="store_true",

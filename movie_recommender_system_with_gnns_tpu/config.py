@@ -125,8 +125,13 @@ class TrainConfig:
     # negatives per positive (reference draws exactly 1, helpers.py:79-80).
     # K>1 averages the pairwise term over K — richer gradient per update,
     # which pays most where updates are expensive (the fullgraph trainer).
-    # Honored by the full/fullgraph trainers; the compact/fused paths keep 1.
+    # Honored by every trainer (compact/full/fullgraph, fused or XLA path).
     num_negatives: int = 1
+    # negative sampling law: "uniform" = the reference's no-collision-check
+    # simplification (helpers.py:68,79-80); "feasible" = exact rejection
+    # resampling against the train pair set (the variant the reference
+    # sketches but never wires in, helpers.py:11-62) — fullgraph trainer only
+    negatives: str = "uniform"
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments
     # (torch SparseAdam analog; see training/compact.py for exact semantics)

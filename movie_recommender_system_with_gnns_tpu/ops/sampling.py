@@ -113,17 +113,24 @@ def sample_negative_feasible(
     num_items: int,
     member_hash: jax.Array,
     num_rounds: int = 4,
+    num: int = 1,
 ) -> jax.Array:
     """Rejection-resampled negatives: re-draw (bounded rounds, static shapes)
-    whenever (user, candidate) is a known positive."""
-    b = user.shape[0]
-    neg = jax.random.randint(key, (b,), 0, num_items, dtype=jnp.int32)
+    whenever (user, candidate) is a known positive.
+
+    Shape contract matches :func:`sample_negative`: ``(B,)`` for ``num <= 1``,
+    ``(B, num)`` otherwise. Residual collision probability after R rounds is
+    (deg_u / num_items)^(R+1) — at ML-25M stats (deg≈76, I=59K, R=4) ≈ 4e-15
+    per draw, i.e. exact in practice while keeping the jit-static shape."""
+    shape = (user.shape[0],) if num <= 1 else (user.shape[0], num)
+    u = user if num <= 1 else user[:, None]
+    neg = jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
     for r in range(num_rounds):
         key, sub = jax.random.split(key)
-        h = cantor_hash_pair(user, neg)
+        h = cantor_hash_pair(u, neg)
         pos = jnp.searchsorted(member_hash, h)
         pos = jnp.clip(pos, 0, member_hash.shape[0] - 1)
         is_member = member_hash[pos] == h
-        redraw = jax.random.randint(sub, (b,), 0, num_items, dtype=jnp.int32)
+        redraw = jax.random.randint(sub, shape, 0, num_items, dtype=jnp.int32)
         neg = jnp.where(is_member, redraw, neg)
     return neg

@@ -34,7 +34,8 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..ops.sampling import TripletBatch, sample_negative
+from ..ops.sampling import (TripletBatch, sample_negative,
+                            sample_negative_feasible)
 from ..ops.spmm import (HybridGraph, build_hybrid_graph, spmm_hybrid,
                         spmm_hybrid_sym)
 from .train import TrainState, compute_loss, make_optimizer
@@ -52,7 +53,7 @@ class FullGraphTrainData:
 
     def __init__(self, hybrid: HybridGraph, user: jax.Array, pos_item: jax.Array,
                  e_real: int, num_steps: int, batch: int,
-                 symmetric_ok: bool = True):
+                 symmetric_ok: bool = True, member_hash=None):
         self.hybrid = hybrid
         self.user = user
         self.pos_item = pos_item
@@ -62,6 +63,9 @@ class FullGraphTrainData:
         # False when the train adjacency failed the build-time symmetry check
         # (edge-level split) — the epoch fn then ignores cfg.train.symmetric_vjp
         self.symmetric_ok = symmetric_ok
+        # sorted Cantor-hash table of train (user, item) pairs, present only
+        # when cfg.train.negatives == "feasible" (exact negative sampling)
+        self.member_hash = member_hash
 
 
 def build_fullgraph_data(
@@ -143,12 +147,21 @@ def build_fullgraph_data(
     batch = batch_aligned
     num_steps = max(1, -(-e_real // batch))
     e_pad = num_steps * batch
+    member_hash = None
+    if cfg.train.negatives == "feasible":
+        from ..ops.sampling import build_membership_hash
+
+        # lane-aligned slot count; int64-max padding never matches a real hash
+        slots = ((e_real + 127) // 128) * 128
+        member_hash = jnp.asarray(build_membership_hash(users, pos, slots))
+    elif cfg.train.negatives != "uniform":
+        raise ValueError(f"unknown negatives law {cfg.train.negatives!r}")
     users = np.concatenate([users, np.zeros(e_pad - e_real, np.int32)])
     pos = np.concatenate([pos, np.zeros(e_pad - e_real, np.int32)])
     return FullGraphTrainData(
         hybrid=hybrid, user=jnp.asarray(users), pos_item=jnp.asarray(pos),
         e_real=e_real, num_steps=num_steps, batch=batch,
-        symmetric_ok=symmetric_ok,
+        symmetric_ok=symmetric_ok, member_hash=member_hash,
     )
 
 
@@ -165,7 +178,8 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
     @partial(jax.jit, donate_argnums=(0,),
              static_argnames=("e_real", "num_steps", "batch"))
     def epoch_inner(state: TrainState, hybrid: HybridGraph, user: jax.Array,
-                    pos_item: jax.Array, key: jax.Array, *,
+                    pos_item: jax.Array, key: jax.Array,
+                    member_hash=None, *,
                     e_real: int, num_steps: int, batch: int
                     ) -> Tuple[TrainState, jax.Array]:
         pkey, skey = jax.random.split(key)
@@ -180,8 +194,13 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
 
         def body(st: TrainState, x):
             uu, pp, mm, k = x
-            neg = sample_negative(k, batch, st.params.item_emb.shape[0],
-                                  cfg.train.num_negatives)
+            if member_hash is not None:
+                neg = sample_negative_feasible(
+                    k, uu, st.params.item_emb.shape[0], member_hash,
+                    num=cfg.train.num_negatives)
+            else:
+                neg = sample_negative(k, batch, st.params.item_emb.shape[0],
+                                      cfg.train.num_negatives)
             tb = TripletBatch(user=uu, pos_item=pp, mask=mm)
             loss, grads = jax.value_and_grad(compute_loss)(
                 st.params, hybrid, tb, neg, cfg, spmm)
@@ -198,6 +217,7 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
         # state): calling with a differently-shaped FullGraphTrainData retraces
         # correctly instead of silently misindexing
         return epoch_inner(state, fg_.hybrid, fg_.user, fg_.pos_item, key,
+                           fg_.member_hash,
                            e_real=fg_.e_real, num_steps=fg_.num_steps,
                            batch=fg_.batch)
 

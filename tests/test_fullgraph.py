@@ -152,3 +152,72 @@ def test_asymmetric_train_graph_disables_symmetric_vjp():
         fg2 = build_fullgraph_data(cfg, asym, data.num_users, n)
     assert not fg2.symmetric_ok
     assert any("asymmetric" in str(x.message) for x in w)
+
+
+def test_feasible_negative_sampling_excludes_train_pairs():
+    """negatives='feasible' (reference sketches it, helpers.py:11-62, but
+    never wires it): drawn negatives must avoid the train pair set; shape
+    contract matches sample_negative for K=1 and K>1."""
+    from movie_recommender_system_with_gnns_tpu.ops.sampling import (
+        build_membership_hash, cantor_hash_pair, sample_negative,
+        sample_negative_feasible,
+    )
+
+    rng = np.random.default_rng(0)
+    num_items = 50
+    b = 4096
+    user = jnp.asarray(rng.integers(0, 8, b).astype(np.int32))
+    # each of the 8 users interacted with 20/50 items -> uniform collides 40%
+    pos_u, pos_i = [], []
+    for u in range(8):
+        its = rng.choice(num_items, size=20, replace=False)
+        pos_u += [u] * 20
+        pos_i += list(its)
+    mh = jnp.asarray(build_membership_hash(
+        np.asarray(pos_u), np.asarray(pos_i), 256))
+
+    def collisions(neg):
+        h = cantor_hash_pair(user if neg.ndim == 1 else user[:, None], neg)
+        pos = jnp.clip(jnp.searchsorted(mh, h), 0, mh.shape[0] - 1)
+        return int(jnp.sum(mh[pos] == h))
+
+    key = jax.random.PRNGKey(1)
+    uni = collisions(sample_negative(key, b, num_items))
+    assert uni > 0.3 * b                      # uniform collides ~40% here
+    fea = collisions(sample_negative_feasible(key, user, num_items, mh,
+                                              num_rounds=8))
+    # residual rate (20/50)^9 ~ 2.6e-4 -> expect ~1 of 4096; allow slack
+    assert fea < 0.01 * b, f"feasible sampler left {fea}/{b} collisions"
+    k3 = sample_negative_feasible(key, user, num_items, mh, num_rounds=8, num=3)
+    assert k3.shape == (b, 3)
+    assert collisions(k3) < 0.01 * b * 3
+
+
+def test_fullgraph_trainer_feasible_negatives_learns(tmp_path):
+    """cfg.train.negatives='feasible' end-to-end through the fullgraph epoch."""
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
+        build_fullgraph_data, make_fullgraph_epoch_fn,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        TrainState, make_optimizer,
+    )
+
+    data, n, _ = _tiny_setup()
+    cfg = Config(model=ModelConfig(num_layers=2, dim=16),
+                 train=TrainConfig(trainer="fullgraph", fullgraph_steps=4,
+                                   negatives="feasible", num_negatives=2,
+                                   lr=5e-2))
+    fg = build_fullgraph_data(cfg, data.edge_index, data.num_users, n)
+    assert fg.member_hash is not None
+    params = init_params(jax.random.PRNGKey(0), data.num_users, data.num_items, 16)
+    opt = make_optimizer(cfg)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    epoch = make_fullgraph_epoch_fn(cfg, fg)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        state, loss = epoch(state, fg, sub)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
