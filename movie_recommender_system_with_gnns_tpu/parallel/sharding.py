@@ -481,21 +481,39 @@ def make_sharded_train_step(
         i_cat = jnp.concatenate([fi, i0], axis=1)
         p_cat = i_cat[batch.pos_item]
         pf, pi = p_cat[:, :d], p_cat[:, d:]
-        n_cat = i_cat[neg]
-        nf, ni = n_cat[:, :d], n_cat[:, d:]
+        n_cat = i_cat[neg]                      # (B, 2d) or (B, K, 2d)
+        nf, ni = n_cat[..., :d], n_cat[..., d:]
+        if ni.ndim == 3:                        # K>1: pairwise/reg avg over K
+            ni2 = jnp.mean(ni**2, axis=1)       # (ops/bpr.py semantics)
+        else:
+            ni2 = ni**2
         # masked SUMS so cross-device averaging is exact under uneven masks
         m = batch.mask.astype(jnp.float32)
         cnt = jnp.maximum(jax.lax.psum(jnp.sum(m), DATA_AXIS), 1.0)
 
-        sq = ((ui**2 + pi**2 + ni**2) * m[:, None]).sum() / (ui.shape[1])
+        sq = ((ui**2 + pi**2 + ni2) * m[:, None]).sum() / (ui.shape[1])
         reg = cfg.train.bpr_coeff * jax.lax.psum(sq, DATA_AXIS) / cnt
 
-        nrm = lambda x: x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        cp = jnp.sum(nrm(uf) * nrm(pf), axis=1)
-        cn = jnp.sum(nrm(uf) * nrm(nf), axis=1)
-        s = (jax.nn.softplus(10.0 * (cp - cn)) * m).sum()
-        score = jax.lax.psum(s, DATA_AXIS) / cnt / 10.0
-        loss = -score + reg
+        if cfg.train.loss == "standard":        # textbook −log σ(⟨u,p⟩−⟨u,n⟩)
+            pos = jnp.sum(uf * pf, axis=-1)
+            if nf.ndim == 3:
+                ng = jnp.sum(uf[:, None, :] * nf, axis=-1)        # (B, K)
+                pair = jnp.mean(jax.nn.softplus(ng - pos[:, None]), axis=1)
+            else:
+                pair = jax.nn.softplus(jnp.sum(uf * nf, axis=-1) - pos)
+            loss = jax.lax.psum((pair * m).sum(), DATA_AXIS) / cnt + reg
+        else:                                   # reference cosine-softplus
+            nrm = lambda x: x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            cp = jnp.sum(nrm(uf) * nrm(pf), axis=-1)
+            if nf.ndim == 3:
+                cn = jnp.sum(nrm(uf)[:, None, :] * nrm(nf), axis=-1)  # (B, K)
+                pair = jnp.mean(jax.nn.softplus(10.0 * (cp[:, None] - cn)),
+                                axis=1)
+            else:
+                cn = jnp.sum(nrm(uf) * nrm(nf), axis=-1)
+                pair = jax.nn.softplus(10.0 * (cp - cn))
+            score = jax.lax.psum((pair * m).sum(), DATA_AXIS) / cnt / 10.0
+            loss = -score + reg
         # replicated over 'model': average over the axis so AD through the
         # all_gather transposes sums to exactly the true gradient
         return jax.lax.psum(loss, MODEL_AXIS) / pm
@@ -508,8 +526,13 @@ def make_sharded_train_step(
         else:
             graph_shard = (graph.src[0], graph.dst_local[0], graph.w[0])
         loss, grads = jax.value_and_grad(local_loss)(params, graph_shard, batch, neg)
-        # data-parallel reduction: each data-device saw only its batch shard
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, DATA_AXIS), grads)
+        # No explicit data-axis grad reduction here: local_loss psums its
+        # masked SUMS over 'data', and shard_map AD transposes that psum into
+        # a cotangent psum — so each device's grad already includes every
+        # data shard's batch contribution. An extra psum(g, 'data') would
+        # multiply grads by dp (a uniform factor the global-norm clip + Adam
+        # silently absorb, which is how it once hid; caught by the unclipped
+        # SGD parity test in tests/test_sharding.py).
         # the global-norm clip needs the cross-shard norm (torch clip
         # semantics, train_test.py:95)
         sq = sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
@@ -583,7 +606,8 @@ def make_sharded_epoch_fn(
 
             def body(st, x):
                 uu, pp, mm, k = x
-                neg = sample_negative(k, batch, plan.num_items)
+                neg = sample_negative(k, batch, plan.num_items,
+                                      cfg.train.num_negatives)
                 tb = TripletBatch(user=uu, pos_item=pp, mask=mm)
                 st, loss = sharded_step(st, graph, tb, neg)
                 return st, loss * mm.sum()

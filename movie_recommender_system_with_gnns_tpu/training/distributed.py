@@ -20,7 +20,7 @@ import optax
 
 from ..config import Config
 from ..models.lightgcn import LightGCNParams, init_params
-from ..ops.sampling import TripletBatch, triplets_from_edges
+from ..ops.sampling import TripletBatch, sample_negative, triplets_from_edges
 from ..parallel.mesh import distributed_init, make_mesh
 from ..parallel.sharding import (
     ShardPlan, make_sharded_train_step, pad_batch, pad_params, shard_graph,
@@ -96,8 +96,8 @@ def train_model_sharded(
                 b = sample_batch(bk)
             else:
                 b = batch
-            neg = jax.random.randint(nk, (b.user.shape[0],), 0, num_items,
-                                     dtype=jnp.int32)
+            neg = sample_negative(nk, b.user.shape[0], num_items,
+                                  cfg.train.num_negatives)
             state, loss = step(state, graph, b, neg)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))

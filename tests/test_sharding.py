@@ -347,3 +347,54 @@ def test_sharded_full_ranking_eval_parity(tiny_data, mesh, tmp_path):
     t = evaluate_full_ranking.last_timings
     assert t["sharded"] is True and t["eval_users"] > 0
     assert t["total_s"] >= t["mask_build_s"] >= 0.0
+
+
+@pytest.mark.parametrize("loss", ["reference", "standard"])
+def test_sharded_multineg_and_loss_match_single_device(tiny_data, mesh, loss):
+    """The mesh trainer honors num_negatives>1 and loss='standard' with the
+    same numerics as the single-device compute_loss (feature-matrix parity on
+    the scaling path)."""
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                 train=TrainConfig(lr=1e-2, loss=loss, num_negatives=3))
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    e = tiny_data.edge_index
+    plan = ShardPlan.create(nu, ni, pm=4)
+
+    # std well above the reference 0.01: at tiny init the standard loss's
+    # gradients are O(1e-6) (near-cancelling softplus'(0) terms), so a
+    # post-Adam comparison would amplify float noise into sign flips
+    params = init_params(jax.random.PRNGKey(0), nu, ni, cfg.model.dim,
+                         init_std=0.3)
+    batch = triplets_from_edges(e, nu, pad_to=2048)
+    neg = jax.random.randint(jax.random.PRNGKey(7), (2048, 3), 0, ni,
+                             dtype=jnp.int32)
+
+    coo = DeviceCOO.from_host(COOGraph.build(e, nu + ni))
+    loss_ref, grads_ref = jax.value_and_grad(compute_loss)(
+        params, coo, batch, neg, cfg)
+    gn = np.sqrt(sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads_ref)))
+    scale = min(1.0, float(cfg.train.grad_clip_norm) / max(gn, 1e-6))
+
+    # SGD(1.0) makes the step's post-clip GRADIENT observable (params_before −
+    # params_after); comparing post-Adam params instead would amplify float
+    # noise on near-zero grad entries into ±lr sign flips (Adam's first step
+    # is lr·sign(g))
+    p_pad = pad_params(params, plan)
+    sgd = optax.sgd(1.0)
+    state = (p_pad, sgd.init(p_pad), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(cfg, mesh, plan, opt=sgd)(state)
+    state2, loss_sh = step(state, shard_graph(e, plan), batch, neg)
+    g_sh = unpad_params(jax.tree.map(lambda a, b: a - b, p_pad, state2[0]),
+                        plan)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-5)
+    # unclipped-gradient comparison: unlike post-Adam params it is NOT
+    # invariant to a uniform grad rescale, so it catches reduction-factor
+    # bugs (this test found grads = dp x true: the explicit psum(g, 'data')
+    # double-counting the loss's internal psum transpose)
+    np.testing.assert_allclose(np.asarray(g_sh.user_emb),
+                               np.asarray(grads_ref.user_emb) * scale,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_sh.item_emb),
+                               np.asarray(grads_ref.item_emb) * scale,
+                               rtol=1e-4, atol=1e-6)
