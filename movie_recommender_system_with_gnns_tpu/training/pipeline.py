@@ -120,6 +120,14 @@ def prepare_training_data(
         test = build_eval_batch(test_e, num_nodes, data.num_users)
         return TrainingBundle(data, train_obj, val, test, (train_e, val_e, test_e))
 
+    if cfg.train.negatives == "feasible":
+        import warnings
+
+        warnings.warn(
+            f"negatives='feasible' is only implemented on the fullgraph "
+            f"trainer; trainer={cfg.train.trainer!r} draws the reference's "
+            "uniform negatives (helpers.py:79-80)", stacklevel=2)
+
     if cfg.train.use_clusters and cfg.train.num_clusters > 1:
         if cfg.train.partitioner == "random_edges":
             parts = partition_edges_random(

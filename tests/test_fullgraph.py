@@ -221,3 +221,25 @@ def test_fullgraph_trainer_feasible_negatives_learns(tmp_path):
         state, loss = epoch(state, fg, sub)
         losses.append(float(loss))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+
+def test_feasible_negatives_warn_on_non_fullgraph_trainer(tmp_path):
+    import warnings
+
+    from movie_recommender_system_with_gnns_tpu.config import DataConfig
+    from movie_recommender_system_with_gnns_tpu.training.pipeline import (
+        prepare_training_data,
+    )
+
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", synthetic_users=50,
+                        synthetic_items=80, synthetic_interactions=1500,
+                        indexes_dir=str(tmp_path / "idx")),
+        model=ModelConfig(num_layers=2, dim=8),
+        train=TrainConfig(trainer="compact", num_clusters=2,
+                          negatives="feasible"),
+    )
+    with warnings.catch_warnings(record=True) as wlog:
+        warnings.simplefilter("always")
+        prepare_training_data(cfg)
+    assert any("negatives='feasible'" in str(w.message) for w in wlog)
