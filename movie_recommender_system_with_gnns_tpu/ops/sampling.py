@@ -73,15 +73,58 @@ def build_membership_hash(
 ) -> np.ndarray:
     """Host-side sorted Cantor-hash table of observed (user, item) pairs.
 
-    The jit-side probe (:func:`sample_negative_feasible`) binary-searches this
-    to reject negatives that are actually positives — the exact analog of the
-    reference's unused ``is_in_feasible`` (helpers.py:43-62).
+    NOTE: int64 — host-side membership checks only (``is_in_feasible``). The
+    DEVICE probe must NOT use this: JAX runs with x64 disabled, so the Cantor
+    hash overflows int32 beyond ~46K nodes ((u+i)² > 2³¹). The device sampler
+    uses :func:`build_member_table` + lexicographic binary search instead.
     """
     s = user.astype(np.int64) + item.astype(np.int64)
     h = (s * (s + 1)) // 2 + item.astype(np.int64)
     h = np.unique(h)
     pad = np.full(max(num_slots - h.shape[0], 0), np.iinfo(np.int64).max, np.int64)
     return np.concatenate([h, pad])
+
+
+def build_member_table(user: np.ndarray, item: np.ndarray,
+                       align: int = 128) -> np.ndarray:
+    """Host-side (2, L) int32 table of observed (user, item) pairs, sorted
+    lexicographically by (user, item) and deduplicated; padded with int32-max
+    sentinels (greater than every real pair) to a lane multiple.
+
+    This is the device-probe form of the reference's feasibility idea
+    (helpers.py:11-62): int32-exact at ANY MovieLens scale, unlike a Cantor
+    hash, which needs 35+ bits at 162K users (JAX x64 is disabled, so int64
+    silently truncates on device — caught live on the first ML-25M run).
+    """
+    pairs = np.unique(np.stack([user.astype(np.int64),
+                                item.astype(np.int64)]), axis=1)
+    big = np.iinfo(np.int32).max
+    pad = (-pairs.shape[1]) % align
+    pairs = np.concatenate(
+        [pairs, np.full((2, pad), big, np.int64)], axis=1)
+    return pairs.astype(np.int32)
+
+
+def _member_probe(member: jax.Array, u: jax.Array, i: jax.Array) -> jax.Array:
+    """Vectorized lower-bound binary search of (u, i) in the sorted (2, L)
+    member table; returns a bool array shaped like ``u``. Static unroll of
+    ceil(log2(L)) compare/gather rounds — the same work jnp.searchsorted
+    lowers to, but comparing (user, item) pairs so no 64-bit key is needed."""
+    mu, mi = member[0], member[1]
+    n = mu.shape[0]
+    lo = jnp.zeros_like(u)
+    hi = jnp.full_like(u, n)
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
+        mid = (lo + hi) // 2
+        c = jnp.clip(mid, 0, n - 1)
+        m_u = mu[c]
+        m_i = mi[c]
+        less = (m_u < u) | ((m_u == u) & (m_i < i))
+        open_ = lo < hi
+        lo = jnp.where(open_ & less, mid + 1, lo)
+        hi = jnp.where(open_ & ~less, mid, hi)
+    at = jnp.clip(lo, 0, n - 1)
+    return (lo < n) & (mu[at] == u) & (mi[at] == i)
 
 
 def get_user_items(edge_index: np.ndarray) -> dict:
@@ -111,26 +154,24 @@ def sample_negative_feasible(
     key: jax.Array,
     user: jax.Array,
     num_items: int,
-    member_hash: jax.Array,
+    member: jax.Array,
     num_rounds: int = 4,
     num: int = 1,
 ) -> jax.Array:
     """Rejection-resampled negatives: re-draw (bounded rounds, static shapes)
-    whenever (user, candidate) is a known positive.
+    whenever (user, candidate) is a known positive. ``member`` is the (2, L)
+    int32 table from :func:`build_member_table`.
 
     Shape contract matches :func:`sample_negative`: ``(B,)`` for ``num <= 1``,
     ``(B, num)`` otherwise. Residual collision probability after R rounds is
     (deg_u / num_items)^(R+1) — at ML-25M stats (deg≈76, I=59K, R=4) ≈ 4e-15
     per draw, i.e. exact in practice while keeping the jit-static shape."""
     shape = (user.shape[0],) if num <= 1 else (user.shape[0], num)
-    u = user if num <= 1 else user[:, None]
+    u = user if num <= 1 else jnp.broadcast_to(user[:, None], shape)
     neg = jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
     for r in range(num_rounds):
         key, sub = jax.random.split(key)
-        h = cantor_hash_pair(u, neg)
-        pos = jnp.searchsorted(member_hash, h)
-        pos = jnp.clip(pos, 0, member_hash.shape[0] - 1)
-        is_member = member_hash[pos] == h
+        is_member = _member_probe(member, u, neg)
         redraw = jax.random.randint(sub, shape, 0, num_items, dtype=jnp.int32)
         neg = jnp.where(is_member, redraw, neg)
     return neg

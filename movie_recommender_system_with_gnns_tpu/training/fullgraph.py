@@ -53,7 +53,7 @@ class FullGraphTrainData:
 
     def __init__(self, hybrid: HybridGraph, user: jax.Array, pos_item: jax.Array,
                  e_real: int, num_steps: int, batch: int,
-                 symmetric_ok: bool = True, member_hash=None):
+                 symmetric_ok: bool = True, member_table=None):
         self.hybrid = hybrid
         self.user = user
         self.pos_item = pos_item
@@ -63,9 +63,9 @@ class FullGraphTrainData:
         # False when the train adjacency failed the build-time symmetry check
         # (edge-level split) — the epoch fn then ignores cfg.train.symmetric_vjp
         self.symmetric_ok = symmetric_ok
-        # sorted Cantor-hash table of train (user, item) pairs, present only
-        # when cfg.train.negatives == "feasible" (exact negative sampling)
-        self.member_hash = member_hash
+        # sorted (2, L) int32 (user, item) pair table, present only when
+        # cfg.train.negatives == "feasible" (exact negative sampling)
+        self.member_table = member_table
 
 
 def build_fullgraph_data(
@@ -147,13 +147,13 @@ def build_fullgraph_data(
     batch = batch_aligned
     num_steps = max(1, -(-e_real // batch))
     e_pad = num_steps * batch
-    member_hash = None
+    member_table = None
     if cfg.train.negatives == "feasible":
-        from ..ops.sampling import build_membership_hash
+        from ..ops.sampling import build_member_table
 
-        # lane-aligned slot count; int64-max padding never matches a real hash
-        slots = ((e_real + 127) // 128) * 128
-        member_hash = jnp.asarray(build_membership_hash(users, pos, slots))
+        # (2, L) int32 sorted pair table — int32-exact at any MovieLens scale
+        # (a Cantor hash needs 35+ bits here and x64 is disabled on device)
+        member_table = jnp.asarray(build_member_table(users, pos))
     elif cfg.train.negatives != "uniform":
         raise ValueError(f"unknown negatives law {cfg.train.negatives!r}")
     users = np.concatenate([users, np.zeros(e_pad - e_real, np.int32)])
@@ -161,7 +161,7 @@ def build_fullgraph_data(
     return FullGraphTrainData(
         hybrid=hybrid, user=jnp.asarray(users), pos_item=jnp.asarray(pos),
         e_real=e_real, num_steps=num_steps, batch=batch,
-        symmetric_ok=symmetric_ok, member_hash=member_hash,
+        symmetric_ok=symmetric_ok, member_table=member_table,
     )
 
 
@@ -179,7 +179,7 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
              static_argnames=("e_real", "num_steps", "batch"))
     def epoch_inner(state: TrainState, hybrid: HybridGraph, user: jax.Array,
                     pos_item: jax.Array, key: jax.Array,
-                    member_hash=None, *,
+                    member_table=None, *,
                     e_real: int, num_steps: int, batch: int
                     ) -> Tuple[TrainState, jax.Array]:
         pkey, skey = jax.random.split(key)
@@ -194,9 +194,9 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
 
         def body(st: TrainState, x):
             uu, pp, mm, k = x
-            if member_hash is not None:
+            if member_table is not None:
                 neg = sample_negative_feasible(
-                    k, uu, st.params.item_emb.shape[0], member_hash,
+                    k, uu, st.params.item_emb.shape[0], member_table,
                     num=cfg.train.num_negatives)
             else:
                 neg = sample_negative(k, batch, st.params.item_emb.shape[0],
@@ -217,7 +217,7 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
         # state): calling with a differently-shaped FullGraphTrainData retraces
         # correctly instead of silently misindexing
         return epoch_inner(state, fg_.hybrid, fg_.user, fg_.pos_item, key,
-                           fg_.member_hash,
+                           fg_.member_table,
                            e_real=fg_.e_real, num_steps=fg_.num_steps,
                            batch=fg_.batch)
 

@@ -159,27 +159,27 @@ def test_feasible_negative_sampling_excludes_train_pairs():
     never wires it): drawn negatives must avoid the train pair set; shape
     contract matches sample_negative for K=1 and K>1."""
     from movie_recommender_system_with_gnns_tpu.ops.sampling import (
-        build_membership_hash, cantor_hash_pair, sample_negative,
-        sample_negative_feasible,
+        build_member_table, sample_negative, sample_negative_feasible,
     )
 
     rng = np.random.default_rng(0)
     num_items = 50
     b = 4096
-    user = jnp.asarray(rng.integers(0, 8, b).astype(np.int32))
+    user_np = rng.integers(0, 8, b).astype(np.int32)
+    user = jnp.asarray(user_np)
     # each of the 8 users interacted with 20/50 items -> uniform collides 40%
     pos_u, pos_i = [], []
     for u in range(8):
         its = rng.choice(num_items, size=20, replace=False)
         pos_u += [u] * 20
         pos_i += list(its)
-    mh = jnp.asarray(build_membership_hash(
-        np.asarray(pos_u), np.asarray(pos_i), 256))
+    mh = jnp.asarray(build_member_table(np.asarray(pos_u), np.asarray(pos_i)))
+    pair_set = set(zip(pos_u, pos_i))
 
     def collisions(neg):
-        h = cantor_hash_pair(user if neg.ndim == 1 else user[:, None], neg)
-        pos = jnp.clip(jnp.searchsorted(mh, h), 0, mh.shape[0] - 1)
-        return int(jnp.sum(mh[pos] == h))
+        n = np.asarray(neg)
+        u = user_np if n.ndim == 1 else np.broadcast_to(user_np[:, None], n.shape)
+        return sum(1 for a, c in zip(u.ravel(), n.ravel()) if (a, c) in pair_set)
 
     key = jax.random.PRNGKey(1)
     uni = collisions(sample_negative(key, b, num_items))
@@ -209,7 +209,7 @@ def test_fullgraph_trainer_feasible_negatives_learns(tmp_path):
                                    negatives="feasible", num_negatives=2,
                                    lr=5e-2))
     fg = build_fullgraph_data(cfg, data.edge_index, data.num_users, n)
-    assert fg.member_hash is not None
+    assert fg.member_table is not None
     params = init_params(jax.random.PRNGKey(0), data.num_users, data.num_items, 16)
     opt = make_optimizer(cfg)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
@@ -243,3 +243,29 @@ def test_feasible_negatives_warn_on_non_fullgraph_trainer(tmp_path):
         warnings.simplefilter("always")
         prepare_training_data(cfg)
     assert any("negatives='feasible'" in str(w.message) for w in wlog)
+
+
+def test_member_probe_exact_at_ml25m_id_scale():
+    """Regression: the device membership probe must be exact at ML-25M id
+    magnitudes (u≈162K, i≈59K). A Cantor pairing hash needs 35+ bits there and
+    JAX truncates int64→int32 on device, which silently turned 'feasible'
+    sampling into uniform on the first real-scale run — the (2,L) int32 pair
+    table + lexicographic binary search cannot overflow."""
+    from movie_recommender_system_with_gnns_tpu.ops.sampling import (
+        _member_probe, build_member_table,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 162_541, 5000).astype(np.int64)
+    i = rng.integers(0, 59_047, 5000).astype(np.int64)
+    tab = jnp.asarray(build_member_table(u, i))
+    hit = _member_probe(tab, jnp.asarray(u.astype(np.int32)),
+                        jnp.asarray(i.astype(np.int32)))
+    assert bool(jnp.all(hit)), "known pairs must probe True"
+    # perturb items by +1 (mod I): overwhelmingly non-members
+    i2 = (i + 1) % 59_047
+    pairs = set(zip(u.tolist(), i.tolist()))
+    expect = np.array([(a, b) in pairs for a, b in zip(u.tolist(), i2.tolist())])
+    hit2 = np.asarray(_member_probe(tab, jnp.asarray(u.astype(np.int32)),
+                                    jnp.asarray(i2.astype(np.int32))))
+    np.testing.assert_array_equal(hit2, expect)
