@@ -236,9 +236,27 @@ def _propagate_local(emb, src, dst, w, adj, num_layers, n_local):
     return acc
 
 
+def _neg_local_index(item_ids, neg, i_pad: int, num_items: int):
+    """Map sampled global negative item ids to cluster-local slots.
+
+    Semantics match ``clip(searchsorted(item_ids, neg), 0, i_pad-1)`` +
+    ``item_ids[loc] == neg`` membership (item_ids is sorted with the last
+    valid id repeated as padding), but the binary search lowers to a
+    ~log2(i_pad)-round serial while loop on TPU — measured 37% of the whole
+    compact epoch at ML-25M scale. Instead: scatter-min each slot index into
+    a (num_items,) inverse table (first slot wins on duplicates, = lower
+    bound), then one gather. One 0.2 MB table fill + 768-row scatter + B-row
+    gather ≈ tens of µs vs 1.46 ms/step for the search loop.
+    """
+    inv = jnp.full((num_items,), i_pad, jnp.int32)          # i_pad = "absent"
+    inv = inv.at[item_ids].min(jnp.arange(i_pad, dtype=jnp.int32))
+    loc = inv[neg]
+    return jnp.minimum(loc, i_pad - 1), loc < i_pad
+
+
 def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
                   pos_local, mask, cfg: Config, i_pad: int, scale: float,
-                  allow_fused: bool = True) -> jax.Array:
+                  num_items: int, allow_fused: bool = True) -> jax.Array:
     """Shared compact-space BPR dispatch: fused Pallas kernel when enabled and
     the cluster tables fit its VMEM budget, XLA row-op path otherwise.
 
@@ -274,8 +292,7 @@ def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
             ni_x = ni.reshape(-1, d)
         else:
             ul_x, pl_x, m_x, neg_x, ni_x = user_local, pos_local, mask, neg, ni
-        loc = jnp.clip(jnp.searchsorted(item_ids, neg_x), 0, i_pad - 1)
-        in_cluster = item_ids[loc] == neg_x
+        loc, in_cluster = _neg_local_index(item_ids, neg_x, i_pad, num_items)
         # single fused Pallas pass: loss + all embedding gradients
         # (ops/pallas_bpr.py); the only XLA row ops left are the global
         # negative-row gather/scatter and the cluster-row table updates
@@ -295,8 +312,7 @@ def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
     # negatives over the FULL catalog (reference helpers.py:79-80): in-cluster
     # negatives take the propagated row; out-of-cluster ones are isolated under
     # cluster propagation → final = table_row · scale analytically
-    loc = jnp.clip(jnp.searchsorted(item_ids, neg), 0, i_pad - 1)
-    in_cluster = item_ids[loc] == neg
+    loc, in_cluster = _neg_local_index(item_ids, neg, i_pad, num_items)
     nf = jnp.where(in_cluster[..., None], fi[loc], ni * scale)
 
     loss_fn = select_bpr_loss(cfg.train.loss)
@@ -333,7 +349,8 @@ def compact_cluster_loss(
 
     ni = params.item_emb[neg]
     return _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids,
-                         user_local, pos_local, mask, cfg, i_pad, scale)
+                         user_local, pos_local, mask, cfg, i_pad, scale,
+                         num_items=params.item_emb.shape[0])
 
 
 # ---------------------------------------------------------------------------
@@ -417,7 +434,7 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             # autodiff chains them through the propagation to the row args
             return _triplet_loss(fu, u_rows, fi, i_rows, n_rows, neg,
                                  item_ids, user_local, pos_local, mask,
-                                 cfg, cc.i_pad, scale)
+                                 cfg, cc.i_pad, scale, num_items=num_items)
 
         def body(carry, x):
             params, ost = carry
