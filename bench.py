@@ -248,12 +248,17 @@ def bench_sharded_epoch(data, scale, epochs=2):
     # if the partitioner's item-plurality step skews a part too wide, re-cut
     # with more parts until every block fits
     num_parts = scale["clusters"]
+    t_part = t_build = 0.0
     while True:
+        t1 = time.time()
         pu, pi = partition_assignments(data.edge_index, nu, n, num_parts,
                                        seed=0, balance_tol=1.1, uv=uv)
+        t_part += time.time() - t1
         try:
+            t1 = time.time()
             hg = shard_hybrid_graph(data.edge_index, plan,
                                     np.concatenate([pu, pi]), num_parts)
+            t_build = time.time() - t1
             break
         except ValueError:
             num_parts *= 2
@@ -262,7 +267,8 @@ def bench_sharded_epoch(data, scale, epochs=2):
     sys.stderr.write(
         f"[bench] sharded hybrid graph: {num_parts} parts, block width "
         f"{hg.blk_adj.shape[-1]}, off-diag E_shard {hg.src.shape[1]} "
-        f"(built in {time.time()-t0:.1f}s)\n")
+        f"(built in {time.time()-t0:.1f}s: partition {t_part:.1f}s, "
+        f"shard+densify {t_build:.1f}s)\n")
 
     params = pad_params(init_params(jax.random.PRNGKey(0), nu, ni, scale["dim"]),
                         plan)

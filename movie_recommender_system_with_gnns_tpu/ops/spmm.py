@@ -18,6 +18,7 @@ segment count and the output row count must be compile-time constants.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -86,6 +87,35 @@ class DeviceELL:
             inv_perm=jnp.asarray(g.inv_perm),
             num_nodes=g.num_nodes,
         )
+
+
+def densify_blocks(blk, dst, src, w, num_blocks: int, width: int,
+                   dtype=jnp.bfloat16) -> jax.Array:
+    """ON-DEVICE scatter-add densification: ``A[blk, dst, src] += w`` into
+    dense ``(num_blocks, width, width)`` Â blocks.
+
+    Replaces host-side per-block ``np.bincount`` builds followed by a full
+    dense upload: the remote PJRT tunnel moves ~90 MB/s, so at ML-25M scale
+    the dense blocks cost ~15 s to ship (1.3 GB bf16) while the COO edges
+    behind them are ~70 MB (~1 s) and the on-device scatter is ~0.1 s.
+    Accumulation is f32 regardless of the storage ``dtype``. Inputs may be
+    1-D (edge-major, ``blk`` per edge) or (num_blocks, E) block-major; they
+    are flattened. Padding edges must carry ``w == 0`` and in-range indices.
+    """
+    return _densify_jit(jnp.asarray(blk), jnp.asarray(dst), jnp.asarray(src),
+                        jnp.asarray(w), num_blocks=int(num_blocks),
+                        width=int(width), dtype=jnp.dtype(dtype))
+
+
+@partial(jax.jit, static_argnames=("num_blocks", "width", "dtype"))
+def _densify_jit(blk, dst, src, w, *, num_blocks, width, dtype):
+    # 2-D operand + (block, flat-cell) index pair keeps every index within
+    # int32 even when num_blocks·width² exceeds 2³¹ elements
+    flat = dst.astype(jnp.int32) * width + src.astype(jnp.int32)
+    dense = jnp.zeros((num_blocks, width * width), jnp.float32)
+    dense = dense.at[blk.reshape(-1).astype(jnp.int32), flat.reshape(-1)].add(
+        w.reshape(-1).astype(jnp.float32))
+    return dense.reshape(num_blocks, width, width).astype(dtype)
 
 
 def spmm_segment(coo: DeviceCOO, emb: jax.Array) -> jax.Array:

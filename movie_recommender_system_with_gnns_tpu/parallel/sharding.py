@@ -36,6 +36,7 @@ from ..config import Config
 from ..data.graph import gcn_norm
 from ..models.lightgcn import LightGCNParams
 from ..ops.sampling import TripletBatch
+from ..ops.spmm import densify_blocks
 from ..ops.topk import merge_topk, mips_topk
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -128,18 +129,16 @@ def _shard_coo_by_dst(src_p: np.ndarray, dst_p: np.ndarray, w: np.ndarray,
     src_s = np.zeros((plan.pm, e_shard), np.int32)
     dst_s = np.full((plan.pm, e_shard), l_rows - 1, np.int32)
     w_s = np.zeros((plan.pm, e_shard), np.float32)
+    # one global (owner, local-dst) sort, then contiguous slices per shard;
+    # padding tails stay dst-sorted for free (real dst <= l_rows-1 = pad dst)
+    order = np.lexsort((loc, own))
+    src_o, loc_o, w_o = src_p[order], loc[order], w[order]
+    ofs = np.concatenate([[0], np.cumsum(counts)])
     for p in range(plan.pm):
-        m = own == p
-        order = np.argsort(loc[m], kind="stable")
-        k = int(m.sum())
-        src_s[p, :k] = src_p[m][order]
-        dst_s[p, :k] = loc[m][order]
-        w_s[p, :k] = w[m][order]
-        # keep dst sorted incl. padding tail (pads point at last local row, w=0)
-        resort = np.argsort(dst_s[p], kind="stable")
-        src_s[p] = src_s[p][resort]
-        dst_s[p] = dst_s[p][resort]
-        w_s[p] = w_s[p][resort]
+        k = int(counts[p])
+        src_s[p, :k] = src_o[ofs[p]:ofs[p + 1]]
+        dst_s[p, :k] = loc_o[ofs[p]:ofs[p + 1]]
+        w_s[p, :k] = w_o[ofs[p]:ofs[p + 1]]
     return ShardedGraph(jnp.asarray(src_s), jnp.asarray(dst_s), jnp.asarray(w_s))
 
 
@@ -205,19 +204,21 @@ def shard_hybrid_graph(
                             _to_padded_ids(dst[~intra], plan),
                             w[~intra], plan)
 
-    # dense diagonal blocks in PADDED id space, one per part
+    # dense diagonal blocks in PADDED id space, one per part. Each part's node
+    # set and the edges' local indices come from ONE global unique/searchsorted
+    # over (part, node) composite keys instead of a per-part Python loop, and
+    # the blocks themselves are scatter-added on device (ops.spmm.
+    # densify_blocks) — shipping ~70 MB of COO through the PJRT tunnel instead
+    # of the ~1.3 GB dense array it expands into.
     i_src = _to_padded_ids(src[intra], plan)
     i_dst = _to_padded_ids(dst[intra], plan)
     i_w = w[intra]
-    ep = node_part[dst[intra]]          # part of the edge (= part of both ends)
-    blocks = []
-    for p in range(num_parts):
-        m = ep == p
-        s_p, d_p, w_p = i_src[m], i_dst[m], i_w[m]
-        ids = (np.unique(np.concatenate([s_p, d_p])) if len(s_p)
-               else np.zeros(1, np.int64))
-        blocks.append((ids, s_p, d_p, w_p))
-    p_max = max(len(b[0]) for b in blocks)
+    ep = node_part[dst[intra]].astype(np.int64)  # part of the edge (= both ends)
+    npad = plan.n_pad
+    keys = np.unique(np.concatenate([ep * npad + i_src, ep * npad + i_dst]))
+    bounds = np.searchsorted(keys // npad, np.arange(num_parts + 1))
+    counts = np.diff(bounds)
+    p_max = max(int(counts.max(initial=1)), 1)
     p_pad = ((p_max + align - 1) // align) * align
     if p_pad > max_block_nodes:
         raise ValueError(
@@ -225,21 +226,22 @@ def shard_hybrid_graph(
             "more parts")
     # round the block count up to a multiple of pm; filler blocks are all-zero
     k_tot = ((num_parts + plan.pm - 1) // plan.pm) * plan.pm
-    out_dtype = jnp.dtype(block_dtype)
     ids_arr = np.zeros((k_tot, p_pad), np.int32)
-    adj = np.zeros((k_tot, p_pad, p_pad), out_dtype)
-    for p, (ids, s_p, d_p, w_p) in enumerate(blocks):
-        ids_arr[p] = np.pad(ids, (0, p_pad - len(ids)), mode="edge")
-        ls = np.searchsorted(ids, s_p)
-        ld = np.searchsorted(ids, d_p)
-        flat = ld * p_pad + ls
-        block = np.bincount(flat, weights=w_p, minlength=p_pad * p_pad)
-        adj[p] = block.reshape(p_pad, p_pad).astype(out_dtype)
+    for p in range(num_parts):
+        c = int(counts[p])
+        if c:
+            ids_arr[p, :c] = keys[bounds[p]:bounds[p + 1]] % npad
+            ids_arr[p, c:] = ids_arr[p, c - 1]   # edge-pad: repeat the last id
+    ls = np.searchsorted(keys, ep * npad + i_src) - bounds[ep]
+    ld = np.searchsorted(keys, ep * npad + i_dst) - bounds[ep]
+    blk_adj = densify_blocks(ep.astype(np.int32), ld.astype(np.int32),
+                             ls.astype(np.int32), i_w.astype(np.float32),
+                             num_blocks=k_tot, width=p_pad, dtype=block_dtype)
     k_loc = k_tot // plan.pm
     return ShardedHybrid(
         src=off.src, dst_local=off.dst_local, w=off.w,
         blk_ids=jnp.asarray(ids_arr.reshape(plan.pm, k_loc, p_pad)),
-        blk_adj=jnp.asarray(adj.reshape(plan.pm, k_loc, p_pad, p_pad)),
+        blk_adj=blk_adj.reshape(plan.pm, k_loc, p_pad, p_pad),
     )
 
 

@@ -150,8 +150,6 @@ def prepare_training_data(
                 <= cfg.train.dense_adjacency_max_nodes):
             train_obj = densify_adjacency(
                 train_obj, max_local_nodes=cfg.train.dense_adjacency_max_nodes)
-        elif getattr(train_obj, "_host_edges", None) is not None:
-            del train_obj._host_edges  # only densify consumes the host cache
     else:
         train_obj = build_cluster_batches(parts, data.num_users, num_nodes)
 
