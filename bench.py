@@ -124,7 +124,8 @@ def build_problem(scale: dict, seed: int = 0):
     return data, parts
 
 
-def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
+def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact",
+                    optimizer="adam", stacked_cache=None):
     """Timed cluster epochs of the jitted TPU trainer; returns best epoch secs.
 
     NOTE on timing: on this platform ``block_until_ready`` does NOT block (the
@@ -135,7 +136,7 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
 
     from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig, TrainConfig
     from movie_recommender_system_with_gnns_tpu.training.compact import (
-        build_compact_clusters, make_compact_epoch_fn,
+        build_compact_clusters, create_lazy_train_state, make_compact_epoch_fn,
     )
     from movie_recommender_system_with_gnns_tpu.training.pipeline import build_cluster_batches
     from movie_recommender_system_with_gnns_tpu.training.train import (
@@ -145,27 +146,40 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
     # fused_bpr: the Pallas fused loss+grad kernel (ops/pallas_bpr.py) — the
     # framework's fast path; converges identically (tests/test_pallas_bpr.py)
     cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]),
-                 train=TrainConfig(fused_bpr=(trainer == "compact")))
+                 train=TrainConfig(fused_bpr=(trainer == "compact"),
+                                   optimizer=optimizer))
     n = data.num_users + data.num_items
     t0 = time.time()
     if trainer == "compact":
         from movie_recommender_system_with_gnns_tpu.training.compact import densify_adjacency
 
-        stacked = build_compact_clusters(parts, data.num_users)
-        dense = stacked.u_pad + stacked.i_pad <= cfg.train.dense_adjacency_max_nodes
-        if dense:
-            stacked = densify_adjacency(stacked)
+        if stacked_cache is not None and "cc" in stacked_cache:
+            stacked, dense = stacked_cache["cc"], stacked_cache["dense"]
+        else:
+            stacked = build_compact_clusters(parts, data.num_users)
+            dense = stacked.u_pad + stacked.i_pad <= cfg.train.dense_adjacency_max_nodes
+            if dense:
+                stacked = densify_adjacency(stacked)
+            if stacked_cache is not None:
+                stacked_cache["cc"], stacked_cache["dense"] = stacked, dense
         epoch_fn = make_compact_epoch_fn(cfg)
         sys.stderr.write(f"[bench] compact clusters: u_pad={stacked.u_pad} "
                          f"i_pad={stacked.i_pad} e_pad={stacked.src.shape[1]} "
-                         f"dense_adj={dense}\n")
+                         f"dense_adj={dense} optimizer={optimizer}\n")
     else:
         clusters = build_cluster_batches(parts, data.num_users, n, bucket_floor=4096)
         stacked = StackedClusters.from_batches(clusters)
         epoch_fn = make_epoch_fn(cfg)
     sys.stderr.write(f"[bench] device batches built in {time.time()-t0:.1f}s\n")
 
-    state = create_train_state(cfg, data.num_users, data.num_items)
+    if optimizer in ("lazy_adam", "hybrid_adam"):
+        from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+
+        state = create_lazy_train_state(
+            cfg, init_params(jax.random.PRNGKey(0), data.num_users,
+                             data.num_items, scale["dim"]))
+    else:
+        state = create_train_state(cfg, data.num_users, data.num_items)
     key = jax.random.PRNGKey(0)
 
     # which loss-kernel path will the compiled epoch actually run? The fused
@@ -209,7 +223,13 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact"):
     util = utilization(flops, bytes_acc, best)
     sys.stderr.write(f"[bench] epoch cost: {flops/1e12:.2f} TFLOP, "
                      f"{bytes_acc/1e9:.1f} GB accessed -> {util}\n")
-    return best, util, paths
+    shapes = None
+    if trainer == "compact":
+        b = stacked.user_local.shape[1]
+        shapes = dict(u_pad=stacked.u_pad, i_pad=stacked.i_pad,
+                      b_pad=((b + 1023) // 1024) * 1024,
+                      num_clusters=stacked.num_clusters)
+    return best, util, paths, shapes
 
 
 def bench_sharded_epoch(data, scale, epochs=2):
@@ -254,13 +274,14 @@ def bench_sharded_epoch(data, scale, epochs=2):
         pu, pi = partition_assignments(data.edge_index, nu, n, num_parts,
                                        seed=0, balance_tol=1.1, uv=uv)
         t_part += time.time() - t1
+        t1 = time.time()
         try:
-            t1 = time.time()
             hg = shard_hybrid_graph(data.edge_index, plan,
                                     np.concatenate([pu, pi]), num_parts)
-            t_build = time.time() - t1
+            t_build += time.time() - t1
             break
         except ValueError:
+            t_build += time.time() - t1   # failed attempts count too
             num_parts *= 2
             if num_parts > 1024:
                 raise
@@ -436,13 +457,52 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--trainer", default="compact", choices=["compact", "full"])
+    ap.add_argument("--optimizer", default="hybrid_adam",
+                    choices=["adam", "lazy_adam", "hybrid_adam"])
     ap.add_argument("--skip-sharded", action="store_true")
     args = ap.parse_args()
     scale = SCALES[args.scale]
 
     data, parts = build_problem(scale)
-    epoch_s, util, paths = bench_tpu_epoch(data, parts, scale, epochs=args.epochs,
-                                           trainer=args.trainer)
+    cache = {}
+    # headline: the hybrid_adam fast path (exact dense Adam on the item table,
+    # SparseAdam-lazy user rows — training/compact.py docstring for semantics)
+    epoch_s, util, paths, shapes = bench_tpu_epoch(
+        data, parts, scale, epochs=args.epochs, trainer=args.trainer,
+        optimizer=args.optimizer, stacked_cache=cache)
+    adam_s = None
+    if args.trainer == "compact" and args.optimizer != "adam":
+        # secondary: the bit-exact torch-Adam-semantics epoch on the same data
+        adam_s, _, _, _ = bench_tpu_epoch(
+            data, parts, scale, epochs=max(args.epochs - 1, 1),
+            trainer="compact", optimizer="adam", stacked_cache=cache)
+        sys.stderr.write(f"[bench] exact-adam epoch: {adam_s:.3f}s\n")
+
+    rowop = {}
+    if shapes is not None:
+        from movie_recommender_system_with_gnns_tpu.utils.roofline import (
+            compact_epoch_floor, measure_rowop_rates,
+        )
+
+        t0 = time.time()
+        rates = measure_rowop_rates(num_rows=data.num_items, d=scale["dim"],
+                                    batch=shapes["b_pad"])
+        kind, pf, pb = device_peaks()
+        floor = compact_epoch_floor(
+            num_users=data.num_users, num_items=data.num_items,
+            d=scale["dim"], num_layers=scale["layers"],
+            num_clusters=shapes["num_clusters"], u_pad=shapes["u_pad"],
+            i_pad=shapes["i_pad"], b_pad=shapes["b_pad"], rates=rates,
+            peak_flops=pf, optimizer=args.optimizer)
+        rowop = {
+            "rowop_util": round(floor["floor_s"] / epoch_s, 3),
+            "epoch_floor_s": round(floor["floor_s"], 4),
+            "rowop_rates": {k: round(v, 3) for k, v in rates._asdict().items()},
+        }
+        sys.stderr.write(
+            f"[bench] measured row-op roofline ({time.time()-t0:.0f}s): "
+            f"rates={rowop['rowop_rates']} floor={floor} -> "
+            f"rowop_util={rowop['rowop_util']}\n")
 
     if args.skip_baseline:
         baseline_s = None
@@ -486,13 +546,16 @@ def main():
         "achieved_hbm_gbps": util["achieved_hbm_gbps"],
         "mips_mfu": mips_util["mips_mfu"],
         "mips_achieved_tflops": mips_util["mips_achieved_tflops"],
+        **rowop,
+        **({"exact_adam_epoch_s": round(adam_s, 4)} if adam_s else {}),
         **sharded,
         "device": kind,
         "peak_tflops_bf16": pf / 1e12,
         "peak_hbm_gbps": pb / 1e9,
         "kernel_paths": paths,
         "config": f"LightGCN L={scale['layers']} d={scale['dim']} "
-                  f"clusters={scale['clusters']} U={data.num_users} I={data.num_items} E={edges}",
+                  f"clusters={scale['clusters']} U={data.num_users} I={data.num_items} E={edges} "
+                  f"optimizer={args.optimizer}",
         "baseline": "torch-cpu reference-math epoch (no GPU available; reference publishes no numbers)",
     }
     print(json.dumps(result))

@@ -122,6 +122,12 @@ class TrainConfig:
     # dense-block operand precision for the hybrid kernel: bf16 is the MXU's
     # native operand type (f32 accumulation); "float32" for exactness studies
     hybrid_block_dtype: str = "bfloat16"
+    # off-diagonal remainder layout for the hybrid propagation: "ell" =
+    # chunked-ELL (scatter rows cut ~16x — TPU scatter costs ~4x a gather per
+    # row; ops/spmm.py::ChunkedEll), "coo" = dst-sorted segment-sum (r2 path,
+    # golden oracle)
+    hybrid_off_format: str = "ell"
+    hybrid_ell_width: int = 16
     # negatives per positive (reference draws exactly 1, helpers.py:79-80).
     # K>1 averages the pairwise term over K — richer gradient per update,
     # which pays most where updates are expensive (the fullgraph trainer).
@@ -134,7 +140,11 @@ class TrainConfig:
     negatives: str = "uniform"
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments
-    # (torch SparseAdam analog; see training/compact.py for exact semantics)
+    # (torch SparseAdam analog; see training/compact.py for exact semantics);
+    # "hybrid_adam" = exact dense Adam on the ITEM table + lazy user rows —
+    # the compact trainer's fast path (a cluster touches ~1% of user rows but
+    # its uniform negatives hit the whole item catalog; profiled rationale in
+    # training/compact.py::make_compact_hybrid_epoch_fn)
     optimizer: str = "adam"
     # full-graph regime knobs (milestone-3 scale: 4-layer d=128 on ML-25M):
     # triplet minibatch per step (None = all train triplets in one step — only

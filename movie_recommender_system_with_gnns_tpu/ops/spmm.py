@@ -100,7 +100,12 @@ def densify_blocks(blk, dst, src, w, num_blocks: int, width: int,
     behind them are ~70 MB (~1 s) and the on-device scatter is ~0.1 s.
     Accumulation is f32 regardless of the storage ``dtype``. Inputs may be
     1-D (edge-major, ``blk`` per edge) or (num_blocks, E) block-major; they
-    are flattened. Padding edges must carry ``w == 0`` and in-range indices.
+    are flattened. Padding edges must carry ``w == 0`` and in-range indices —
+    under jit, out-of-range scatter indices are silently DROPPED (no loud
+    bincount failure like the host build it replaced). Peak-HBM note: the
+    scatter accumulates into a transient f32 (num_blocks, width²) buffer
+    before the ``dtype`` cast — ~2× the final bf16 array (~2.6 GB at ML-25M
+    scale) during graph build.
     """
     return _densify_jit(jnp.asarray(blk), jnp.asarray(dst), jnp.asarray(src),
                         jnp.asarray(w), num_blocks=int(num_blocks),
@@ -201,19 +206,122 @@ class HybridGraph:
     tests/test_fullgraph.py. The point: TPU gather/scatter costs
     ~24 ns/row regardless of width, so moving 40%+ of the edges from
     per-edge gathers onto the MXU cuts full-graph propagation time by ~40%.
+
+    ``off_ell``, when present, replaces the segment-sum remainder with
+    chunked-ELL propagation (:func:`spmm_chunked_ell`): TPU scatter costs ~4×
+    a gather per row (measured), so reducing segment rows by the chunk width
+    is the single biggest lever on the exact full-graph path (VERDICT r2
+    item 2a).
     """
 
     off: DeviceCOO          # inter-cluster remainder
     ids: jax.Array          # (K, P) int32 — each block's sorted global node ids
     adj: jax.Array          # (K, P, P) — dense Â block, A[k, dst, src]
     num_nodes: int          # static
+    off_ell: "ChunkedEll | None" = None
 
     def tree_flatten(self):
-        return (self.off, self.ids, self.adj), self.num_nodes
+        return (self.off, self.ids, self.adj, self.off_ell), self.num_nodes
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, num_nodes=aux)
+        off, ids, adj, off_ell = children
+        return cls(off, ids, adj, num_nodes=aux, off_ell=off_ell)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ChunkedEll:
+    """Fixed-width chunked-ELL adjacency (SELL-style) for scatter-light SpMM.
+
+    Each destination row's neighbor list is split into width-``W`` chunks;
+    chunks are dst-sorted, so the final combine is a sorted ``segment_sum``
+    over ~E/W + N rows instead of E rows. Padding slots point at row
+    ``num_nodes`` of a zero-extended input (weight 0).
+
+      nbr:  (C, W) int32 — neighbor ids into the SOURCE table (num_src = padding)
+      w:    (C, W) float32
+      dst:  (C,)  int32 — chunk's destination row, sorted ascending
+
+    ``num_src`` may differ from ``num_nodes`` (destination rows) for
+    rectangular operators — e.g. the mesh path's local-rows × gathered-full
+    remainder (parallel/sharding.py).
+    """
+
+    nbr: jax.Array
+    w: jax.Array
+    dst: jax.Array
+    num_nodes: int          # static — destination rows
+    num_chunks: int         # static (C)
+    num_src: int = 0        # static — source rows (0 = num_nodes)
+
+    def tree_flatten(self):
+        return ((self.nbr, self.w, self.dst),
+                (self.num_nodes, self.num_chunks, self.num_src))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, num_nodes=aux[0], num_chunks=aux[1],
+                   num_src=aux[2])
+
+    @staticmethod
+    def build(src: np.ndarray, dst: np.ndarray, w: np.ndarray, num_nodes: int,
+              width: int = 16, align: int = 128, num_src: int = 0,
+              pad_chunks_to: int = 0) -> "ChunkedEll":
+        """Host-side build from (already weighted) COO arrays.
+
+        ``pad_chunks_to`` forces a common chunk count (mesh stacking)."""
+        n_src = num_src or num_nodes
+        order = np.argsort(dst, kind="stable")
+        src_s, dst_s, w_s = (np.asarray(src)[order].astype(np.int64),
+                             np.asarray(dst)[order].astype(np.int64),
+                             np.asarray(w)[order].astype(np.float32))
+        deg = np.bincount(dst_s, minlength=num_nodes)
+        rowptr = np.concatenate([[0], np.cumsum(deg)])
+        pos = np.arange(dst_s.shape[0], dtype=np.int64) - rowptr[dst_s]
+        chunks_per_row = -(-deg // width)               # ceil
+        chunk_ptr = np.concatenate([[0], np.cumsum(chunks_per_row)])
+        c_true = int(chunk_ptr[-1])
+        c_pad = ((max(c_true, 1) + align - 1) // align) * align
+        c_pad = max(c_pad, pad_chunks_to)
+        nbr = np.full((c_pad, width), n_src, np.int32)
+        ww = np.zeros((c_pad, width), np.float32)
+        cdst = np.full(c_pad, num_nodes - 1, np.int32)  # pad: last row, w=0
+        # edge -> (chunk, lane)
+        ch = chunk_ptr[dst_s] + pos // width
+        ln = pos % width
+        nbr[ch, ln] = src_s
+        ww[ch, ln] = w_s
+        # chunk -> destination (chunks inherit dst-sorted order)
+        row_ids = np.repeat(np.arange(num_nodes, dtype=np.int64), chunks_per_row)
+        cdst[:c_true] = row_ids
+        return ChunkedEll(nbr=jnp.asarray(nbr), w=jnp.asarray(ww),
+                          dst=jnp.asarray(cdst), num_nodes=num_nodes,
+                          num_chunks=c_pad, num_src=n_src)
+
+
+def spmm_chunked_ell(ell: ChunkedEll, emb: jax.Array,
+                     slices: int = 8) -> jax.Array:
+    """``Â_off @ emb`` via chunked-ELL: gather (c, W) neighbor rows, weighted
+    reduce over W on the VPU, sorted segment-sum over chunk rows.
+
+    ``slices`` bounds the transient (C/slices, W, d) gather buffer (~E·d·4/slices
+    bytes); the slice loop is a Python loop over static slices so XLA overlaps
+    the slices' gathers and reductions freely.
+    """
+    emb_pad = jnp.concatenate(
+        [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)], axis=0)
+    c = ell.num_chunks
+    s = slices if c % slices == 0 else 1
+    outs = []
+    for i in range(s):
+        nbr = ell.nbr[i * (c // s):(i + 1) * (c // s)]
+        w = ell.w[i * (c // s):(i + 1) * (c // s)]
+        g = emb_pad[nbr]                             # (c/s, W, d)
+        outs.append(jnp.einsum("cw,cwd->cd", w.astype(emb.dtype), g))
+    red = jnp.concatenate(outs, axis=0)              # (C, d)
+    return jax.ops.segment_sum(red, ell.dst, num_segments=ell.num_nodes,
+                               indices_are_sorted=True)
 
 
 def build_hybrid_graph(
@@ -224,11 +332,15 @@ def build_hybrid_graph(
     align: int = 128,
     block_dtype=jnp.bfloat16,
     max_block_nodes: int = 4096,
+    off_format: str = "ell",
+    ell_width: int = 16,
 ) -> HybridGraph:
     """Host-side split of the full (undirected, global-id) edge list.
 
     ``node_part``: (num_nodes,) part id per node (users ‖ items unified space;
-    see data.partition.partition_assignments).
+    see data.partition.partition_assignments). ``off_format``: "ell" (default,
+    chunked-ELL remainder — scatter rows cut by ``ell_width``) or "coo"
+    (segment-sum remainder; the r1/r2 path, kept as the golden oracle).
     """
     from ..data.graph import gcn_norm
 
@@ -237,11 +349,25 @@ def build_hybrid_graph(
     w = gcn_norm(edge_index, num_nodes)          # GLOBAL degrees — exactness
     intra = node_part[src] == node_part[dst]
 
-    # off-diagonal remainder: dst-sorted, padded COO with zero weights
-    o_src, o_dst, o_w = src[~intra], dst[~intra], w[~intra]
-    order = np.argsort(o_dst, kind="stable")
-    o_src, o_dst, o_w = o_src[order], o_dst[order], o_w[order]
-    e_pad = ((len(o_src) + align - 1) // align) * align
+    off_ell = None
+    if off_format == "ell":
+        off_ell = ChunkedEll.build(src[~intra], dst[~intra], w[~intra],
+                                   num_nodes, width=ell_width)
+    elif off_format != "coo":
+        raise ValueError(f"unknown off_format {off_format!r}")
+
+    # off-diagonal remainder: dst-sorted, padded COO with zero weights (a
+    # 128-edge zero-weight stub when the ELL remainder replaces it — the stub
+    # keeps the pytree shape without carrying 3×E_off arrays nobody reads)
+    if off_ell is not None:
+        o_src = np.zeros(0, np.int64)
+        o_dst = np.zeros(0, np.int64)
+        o_w = np.zeros(0, np.float32)
+    else:
+        o_src, o_dst, o_w = src[~intra], dst[~intra], w[~intra]
+        order = np.argsort(o_dst, kind="stable")
+        o_src, o_dst, o_w = o_src[order], o_dst[order], o_w[order]
+    e_pad = ((len(o_src) + align - 1) // align) * align or align
     pad = e_pad - len(o_src)
     if pad:
         o_src = np.concatenate([o_src, np.zeros(pad, np.int64)])
@@ -278,12 +404,17 @@ def build_hybrid_graph(
         block = np.bincount(flat, weights=w_p, minlength=p_pad * p_pad)
         adj[p] = block.reshape(p_pad, p_pad).astype(jnp.dtype(block_dtype))
     return HybridGraph(off=off, ids=jnp.asarray(ids_arr),
-                       adj=jnp.asarray(adj), num_nodes=num_nodes)
+                       adj=jnp.asarray(adj), num_nodes=num_nodes,
+                       off_ell=off_ell)
 
 
 def spmm_hybrid(h: HybridGraph, emb: jax.Array) -> jax.Array:
-    """``Â @ emb`` via dense MXU diagonal blocks + gather-path remainder."""
-    out = spmm_segment(h.off, emb)
+    """``Â @ emb`` via dense MXU diagonal blocks + gather-path remainder
+    (chunked-ELL when built with ``off_format='ell'``, segment-sum COO else)."""
+    if h.off_ell is not None:
+        out = spmm_chunked_ell(h.off_ell, emb)
+    else:
+        out = spmm_segment(h.off, emb)
     k, p = h.ids.shape
     d = emb.shape[1]
     blk_in = emb[h.ids.reshape(-1)].reshape(k, p, d).astype(h.adj.dtype)

@@ -177,6 +177,10 @@ class ShardedHybrid(NamedTuple):
     w: jax.Array          # (Pm, E_shard) float32
     blk_ids: jax.Array    # (Pm, K_loc, P) int32 — padded-space node ids
     blk_adj: jax.Array    # (Pm, K_loc, P, P) — Â[k, dst, src], bf16/f32
+    # chunked-ELL remainder (None -> segment-sum over src/dst_local/w):
+    ell_nbr: Optional[jax.Array] = None   # (Pm, C, W) int32 into full (n_pad=pad)
+    ell_w: Optional[jax.Array] = None     # (Pm, C, W) f32
+    ell_dst: Optional[jax.Array] = None   # (Pm, C) int32 local rows, sorted
 
 
 def shard_hybrid_graph(
@@ -187,6 +191,8 @@ def shard_hybrid_graph(
     align: int = 128,
     block_dtype=jnp.bfloat16,
     max_block_nodes: int = 4096,
+    off_format: str = "ell",
+    ell_width: int = 16,
 ) -> ShardedHybrid:
     """Host-side build of the sharded hybrid adjacency.
 
@@ -194,15 +200,52 @@ def shard_hybrid_graph(
     items unified space, data.partition.partition_assignments). GCN weights are
     global (true graph), so sharded hybrid propagation equals single-device
     ``ops.spmm.spmm_hybrid`` up to block-dtype rounding and summation order.
+    ``off_format='ell'`` (default) lays the off-diagonal remainder out as
+    chunked-ELL per shard (ops/spmm.py::ChunkedEll — segment rows cut by the
+    chunk width; VERDICT r2 item 2a), stacked to a common chunk count over the
+    model axis; 'coo' keeps the r2 segment-sum remainder.
     """
+    from ..ops.spmm import ChunkedEll
+
     src = edge_index[0].astype(np.int64)
     dst = edge_index[1].astype(np.int64)
     w = gcn_norm(edge_index, plan.num_users + plan.num_items)
     intra = node_part[src] == node_part[dst]
 
-    off = _shard_coo_by_dst(_to_padded_ids(src[~intra], plan),
-                            _to_padded_ids(dst[~intra], plan),
-                            w[~intra], plan)
+    ell = None
+    if off_format == "ell":
+        o_src = _to_padded_ids(src[~intra], plan)
+        o_dst = _to_padded_ids(dst[~intra], plan)
+        o_w = w[~intra]
+        own, loc = _owner_and_local(o_dst, plan)
+        l_rows = plan.u_loc + plan.i_loc
+        shards = []
+        for p in range(plan.pm):
+            m = own == p
+            shards.append((o_src[m], loc[m], o_w[m]))
+        c_max = 0
+        built = []
+        for s_p, d_p, w_p in shards:
+            e = ChunkedEll.build(s_p, d_p, w_p, l_rows, width=ell_width,
+                                 num_src=plan.n_pad)
+            built.append(e)
+            c_max = max(c_max, e.num_chunks)
+        if any(e.num_chunks != c_max for e in built):
+            built = [ChunkedEll.build(s_p, d_p, w_p, l_rows, width=ell_width,
+                                      num_src=plan.n_pad, pad_chunks_to=c_max)
+                     for (s_p, d_p, w_p) in shards]
+        ell = (jnp.stack([e.nbr for e in built]),
+               jnp.stack([e.w for e in built]),
+               jnp.stack([e.dst for e in built]))
+        # keep only a 128-edge zero-weight COO stub per shard
+        z = np.zeros(0, np.int64)
+        off = _shard_coo_by_dst(z, z, np.zeros(0, np.float32), plan)
+    elif off_format == "coo":
+        off = _shard_coo_by_dst(_to_padded_ids(src[~intra], plan),
+                                _to_padded_ids(dst[~intra], plan),
+                                w[~intra], plan)
+    else:
+        raise ValueError(f"unknown off_format {off_format!r}")
 
     # dense diagonal blocks in PADDED id space, one per part. Each part's node
     # set and the edges' local indices come from ONE global unique/searchsorted
@@ -242,7 +285,27 @@ def shard_hybrid_graph(
         src=off.src, dst_local=off.dst_local, w=off.w,
         blk_ids=jnp.asarray(ids_arr.reshape(plan.pm, k_loc, p_pad)),
         blk_adj=blk_adj.reshape(plan.pm, k_loc, p_pad, p_pad),
+        ell_nbr=None if ell is None else ell[0],
+        ell_w=None if ell is None else ell[1],
+        ell_dst=None if ell is None else ell[2],
     )
+
+
+def _hybrid_shard(graph: ShardedHybrid):
+    """Per-device slice of a ShardedHybrid (inside shard_map the leading model
+    axis is 1)."""
+    e = graph.ell_nbr
+    return (graph.src[0], graph.dst_local[0], graph.w[0],
+            graph.blk_ids[0], graph.blk_adj[0],
+            None if e is None else graph.ell_nbr[0],
+            None if e is None else graph.ell_w[0],
+            None if e is None else graph.ell_dst[0])
+
+
+def _hybrid_specs(off_ell: bool = True):
+    p = P(MODEL_AXIS)
+    tail = [p, p, p] if off_ell else [None, None, None]
+    return ShardedHybrid(p, p, p, p, p, *tail)
 
 
 def pad_batch(batch: TripletBatch, pd: int) -> TripletBatch:
@@ -329,20 +392,28 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
 
     def _hybrid_layer(garr, uv):
         """One hybrid layer on the mesh: all_gather → (local off-diag
-        segment-sum) + (dense MXU blocks → reduce_scatter). Self-adjoint as a
-        GLOBAL linear operator when Â = Âᵀ, so :func:`ops.spmm.spmm_symmetric`
-        can reuse it verbatim as its own backward."""
-        from ..ops.spmm import spmm_symmetric  # noqa: F401 (doc pointer)
+        chunked-ELL or segment-sum) + (dense MXU blocks → reduce_scatter).
+        Self-adjoint as a GLOBAL linear operator when Â = Âᵀ, so
+        :func:`ops.spmm.spmm_symmetric` can reuse it verbatim as its own
+        backward."""
+        from ..ops.spmm import ChunkedEll, spmm_chunked_ell
 
-        src, dst_local, w, ids, adj = garr
+        src, dst_local, w, ids, adj, enbr, ew, edst = garr
         u_cur, i_cur = uv
         uf = jax.lax.all_gather(u_cur, MODEL_AXIS, axis=0, tiled=True)
         itf = jax.lax.all_gather(i_cur, MODEL_AXIS, axis=0, tiled=True)
         full = jnp.concatenate([uf, itf], axis=0)             # (n_pad, d)
         d = full.shape[1]
         l_rows = plan.u_loc + plan.i_loc
-        off = jax.ops.segment_sum(full[src] * w[:, None], dst_local,
-                                  num_segments=l_rows, indices_are_sorted=True)
+        if enbr is not None:
+            ell = ChunkedEll(nbr=enbr, w=ew, dst=edst, num_nodes=l_rows,
+                             num_chunks=int(enbr.shape[0]),
+                             num_src=plan.n_pad)
+            off = spmm_chunked_ell(ell, full)
+        else:
+            off = jax.ops.segment_sum(full[src] * w[:, None], dst_local,
+                                      num_segments=l_rows,
+                                      indices_are_sorted=True)
         k_loc, p = ids.shape
         blk_in = full[ids.reshape(-1)].reshape(k_loc, p, d).astype(adj.dtype)
         blk_out = jax.lax.dot_general(
@@ -387,6 +458,7 @@ def make_sharded_propagate(
     plan: ShardPlan,
     hybrid: bool = False,
     symmetric: bool = False,
+    off_ell: bool = True,
 ):
     """Jitted sharded K-layer propagation for SERVING / full-ranking eval
     (round-1 verdict item 7): ``fn(padded_params, graph) -> LightGCNParams``
@@ -402,8 +474,7 @@ def make_sharded_propagate(
 
     def fwd(params: LightGCNParams, graph):
         if hybrid:
-            gs = (graph.src[0], graph.dst_local[0], graph.w[0],
-                  graph.blk_ids[0], graph.blk_adj[0])
+            gs = _hybrid_shard(graph)
             fu_loc, fi_loc = lph(params.user_emb, params.item_emb, gs)
         else:
             fu_loc, fi_loc = lp(params.user_emb, params.item_emb,
@@ -412,7 +483,7 @@ def make_sharded_propagate(
 
     table_spec = LightGCNParams(P(MODEL_AXIS, None), P(MODEL_AXIS, None))
     if hybrid:
-        graph_specs = ShardedHybrid(*([P(MODEL_AXIS)] * 5))
+        graph_specs = _hybrid_specs(off_ell)
     else:
         graph_specs = ShardedGraph(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS))
     fn = jax.shard_map(fwd, mesh=mesh, in_specs=(table_spec, graph_specs),
@@ -427,6 +498,7 @@ def make_sharded_train_step(
     opt: Optional[optax.GradientTransformation] = None,
     hybrid: bool = False,
     symmetric: Optional[bool] = None,
+    off_ell: bool = True,
 ):
     """Build the shard_map'd train step.
 
@@ -523,8 +595,7 @@ def make_sharded_train_step(
     def step(state, graph, batch: TripletBatch, neg: jax.Array):
         params, opt_state, count = state
         if hybrid:
-            graph_shard = (graph.src[0], graph.dst_local[0], graph.w[0],
-                           graph.blk_ids[0], graph.blk_adj[0])
+            graph_shard = _hybrid_shard(graph)
         else:
             graph_shard = (graph.src[0], graph.dst_local[0], graph.w[0])
         loss, grads = jax.value_and_grad(local_loss)(params, graph_shard, batch, neg)
@@ -550,7 +621,7 @@ def make_sharded_train_step(
     def build(state_template, jit: bool = True):
         st_specs = state_specs(state_template, plan)
         if hybrid:
-            graph_specs = ShardedHybrid(*([P(MODEL_AXIS)] * 5))
+            graph_specs = _hybrid_specs(off_ell)
         else:
             graph_specs = ShardedGraph(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS))
         batch_specs = TripletBatch(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
@@ -572,6 +643,7 @@ def make_sharded_epoch_fn(
     opt: Optional[optax.GradientTransformation] = None,
     hybrid: bool = True,
     symmetric: Optional[bool] = None,
+    off_ell: bool = True,
 ):
     """Fused sharded epoch: shuffle all train positives on device, then scan
     ``num_steps`` shard_map'd train steps in ONE compiled program — the mesh
@@ -587,7 +659,8 @@ def make_sharded_epoch_fn(
     from ..ops.sampling import sample_negative
 
     step_builder = make_sharded_train_step(cfg, mesh, plan, opt=opt,
-                                           hybrid=hybrid, symmetric=symmetric)
+                                           hybrid=hybrid, symmetric=symmetric,
+                                           off_ell=off_ell)
     pd_axis = mesh.shape[DATA_AXIS]
 
     def build(state_template):

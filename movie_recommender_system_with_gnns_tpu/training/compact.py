@@ -53,7 +53,8 @@ class CompactClusters:
 
     def __init__(self, user_ids, item_ids, src, dst, w, user_local, pos_local,
                  mask, edge_counts, user_valid, item_valid, u_pad, i_pad,
-                 adj=None):
+                 adj=None, user_cluster=None, user_slot=None,
+                 users_disjoint=True, member_table=None):
         self.user_ids, self.item_ids = user_ids, item_ids          # (K, Upad), (K, Ipad)
         self.src, self.dst, self.w = src, dst, w                   # (K, Epad)
         self.user_local, self.pos_local = user_local, pos_local    # (K, B)
@@ -64,16 +65,29 @@ class CompactClusters:
         # optional densified Â per cluster (K, n_local, n_local): turns the
         # propagation into pure MXU matmuls (see densify_adjacency)
         self.adj = adj
+        # inverse user map for the hybrid_adam write-back-by-gather:
+        # user_cluster[u] = owning cluster (or -1), user_slot[u] = row inside
+        # that cluster's user_ids. Valid only when ``users_disjoint`` (each
+        # user's edges in exactly one cluster — greedy node partition).
+        self.user_cluster, self.user_slot = user_cluster, user_slot  # (U,)
+        self.users_disjoint = users_disjoint                       # static
+        # sorted (2, L) int32 train-pair table (ops.sampling.build_member_table)
+        # — present iff negatives='feasible' (exact rejection resampling)
+        self.member_table = member_table
 
     def tree_flatten(self):
         return ((self.user_ids, self.item_ids, self.src, self.dst, self.w,
                  self.user_local, self.pos_local, self.mask, self.edge_counts,
-                 self.user_valid, self.item_valid, self.adj),
-                (self.u_pad, self.i_pad))
+                 self.user_valid, self.item_valid, self.adj,
+                 self.user_cluster, self.user_slot, self.member_table),
+                (self.u_pad, self.i_pad, self.users_disjoint))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:-1], u_pad=aux[0], i_pad=aux[1], adj=children[-1])
+        return cls(*children[:-4], u_pad=aux[0], i_pad=aux[1],
+                   adj=children[-4], user_cluster=children[-3],
+                   user_slot=children[-2], users_disjoint=aux[2],
+                   member_table=children[-1])
 
     @property
     def num_clusters(self) -> int:
@@ -89,7 +103,12 @@ def build_compact_clusters(
     num_users: int,
     align: int = 128,
 ) -> CompactClusters:
-    """Host-side compaction of partitioned (global-id, undirected) edge lists."""
+    """Host-side compaction of partitioned (global-id, undirected) edge lists.
+
+    Also builds the inverse user map (``user_cluster``/``user_slot``) used by
+    the hybrid_adam write-back; ``users_disjoint`` records whether each user
+    really appears in at most one cluster (true for the greedy node partition,
+    false for random edge partitions)."""
     parts = [p for p in parts if p.shape[1] > 0]
     infos = []
     for e in parts:
@@ -122,7 +141,14 @@ def build_compact_clusters(
     item_valid = np.zeros((k, i_pad), bool)
 
     n_local = u_pad + i_pad
+    user_cluster = np.full(num_users, -1, np.int32)
+    user_slot = np.zeros(num_users, np.int32)
+    users_disjoint = True
     for c, (uu, ii, ul, il, ecount) in enumerate(infos):
+        if (user_cluster[uu] >= 0).any():
+            users_disjoint = False
+        user_cluster[uu] = c
+        user_slot[uu] = np.arange(len(uu), dtype=np.int32)
         # pad id lists by repeating the last valid id (gather-safe)
         user_ids[c] = np.pad(uu, (0, u_pad - len(uu)), mode="edge") if len(uu) else 0
         item_ids[c] = np.pad(ii, (0, i_pad - len(ii)), mode="edge") if len(ii) else 0
@@ -152,6 +178,8 @@ def build_compact_clusters(
         mask=jnp.asarray(mask), edge_counts=jnp.asarray(edge_counts),
         user_valid=jnp.asarray(user_valid), item_valid=jnp.asarray(item_valid),
         u_pad=u_pad, i_pad=i_pad,
+        user_cluster=jnp.asarray(user_cluster),
+        user_slot=jnp.asarray(user_slot), users_disjoint=users_disjoint,
     )
     return cc
 
@@ -188,8 +216,46 @@ def densify_adjacency(cc: CompactClusters, dtype=jnp.bfloat16,
     return CompactClusters(
         cc.user_ids, cc.item_ids, cc.src, cc.dst, cc.w, cc.user_local,
         cc.pos_local, cc.mask, cc.edge_counts, cc.user_valid, cc.item_valid,
-        cc.u_pad, cc.i_pad, adj=adj,
+        cc.u_pad, cc.i_pad, adj=adj, user_cluster=cc.user_cluster,
+        user_slot=cc.user_slot, users_disjoint=cc.users_disjoint,
+        member_table=cc.member_table,
     )
+
+
+def attach_member_table(cc: CompactClusters,
+                        train_edge_index: np.ndarray,
+                        num_users: int) -> CompactClusters:
+    """Return a copy of ``cc`` carrying the sorted train-pair table so every
+    compact epoch fn samples EXACT feasible negatives (the variant the
+    reference sketches but never wires in, helpers.py:11-62). Pairs come from
+    the FULL train edge set, not just kept intra-cluster edges — a negative
+    must avoid everything the user interacted with."""
+    from ..data.partition import forward_half
+    from ..ops.sampling import build_member_table
+
+    u, it = forward_half(train_edge_index, num_users)
+    table = jnp.asarray(build_member_table(u.astype(np.int32),
+                                           it.astype(np.int32)))
+    return CompactClusters(
+        cc.user_ids, cc.item_ids, cc.src, cc.dst, cc.w, cc.user_local,
+        cc.pos_local, cc.mask, cc.edge_counts, cc.user_valid, cc.item_valid,
+        cc.u_pad, cc.i_pad, adj=cc.adj, user_cluster=cc.user_cluster,
+        user_slot=cc.user_slot, users_disjoint=cc.users_disjoint,
+        member_table=table,
+    )
+
+
+def _step_negatives(cfg: Config, nk, user_ids, user_local, num_items, member):
+    """Per-cluster negative draw: uniform (reference helpers.py:79-80) or
+    exact-feasible when the cluster set carries a member table."""
+    if member is None:
+        return sample_negative(nk, user_local.shape[0], num_items,
+                               num=cfg.train.num_negatives)
+    from ..ops.sampling import sample_negative_feasible
+
+    users = user_ids[user_local]       # triplet slots -> global user ids
+    return sample_negative_feasible(nk, users, num_items, member,
+                                    num=cfg.train.num_negatives)
 
 
 def _propagate_local(emb, src, dst, w, adj, num_layers, n_local):
@@ -215,6 +281,11 @@ def _propagate_local(emb, src, dst, w, adj, num_layers, n_local):
     return acc
 
 
+#: lanes per inverse-table row — wide enough that the per-row gather amortizes
+#: TPU row-op cost, small enough that the lane-select compare stays trivial
+_INV_LANES = 8
+
+
 def _neg_local_index(item_ids, neg, i_pad: int, num_items: int):
     """Map sampled global negative item ids to cluster-local slots.
 
@@ -223,13 +294,19 @@ def _neg_local_index(item_ids, neg, i_pad: int, num_items: int):
     valid id repeated as padding), but the binary search lowers to a
     ~log2(i_pad)-round serial while loop on TPU — measured 37% of the whole
     compact epoch at ML-25M scale. Instead: scatter-min each slot index into
-    a (num_items,) inverse table (first slot wins on duplicates, = lower
-    bound), then one gather. One 0.2 MB table fill + 768-row scatter + B-row
-    gather ≈ tens of µs vs 1.46 ms/step for the search loop.
+    an inverse table (first slot wins on duplicates, = lower bound), then one
+    gather. The table is laid out ``(num_items/8, 8)`` so the probe is a
+    ROW gather of B 8-lane rows + a VPU lane select: a width-1 gather of B
+    int32 pays full per-row cost (~6.6 ns/row measured on v5e, 200 µs/step at
+    ML-25M scale) while the 8-wide row gather runs ~3× faster.
     """
-    inv = jnp.full((num_items,), i_pad, jnp.int32)          # i_pad = "absent"
-    inv = inv.at[item_ids].min(jnp.arange(i_pad, dtype=jnp.int32))
-    loc = inv[neg]
+    rows = -(-num_items // _INV_LANES)
+    inv = jnp.full((rows * _INV_LANES,), i_pad, jnp.int32)  # i_pad = "absent"
+    inv = inv.at[item_ids].min(jnp.arange(item_ids.shape[0], dtype=jnp.int32))
+    g = inv.reshape(rows, _INV_LANES)[neg // _INV_LANES]    # (..., 8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, g.ndim - 1)
+    loc = jnp.sum(jnp.where(lane == (neg % _INV_LANES)[..., None], g, 0),
+                  axis=-1)
     return jnp.minimum(loc, i_pad - 1), loc < i_pad
 
 
@@ -376,9 +453,18 @@ def _lazy_row_update(table, mu, nu, rows, g_rows, valid, lr_t, b1, b2, eps, scal
     )
 
 
+def _require_constant_lr(cfg: Config, who: str) -> None:
+    if cfg.train.lr_schedule != "constant":
+        raise ValueError(
+            f"{who} implements its own fused Adam update and supports only "
+            f"lr_schedule='constant' (got {cfg.train.lr_schedule!r}); use "
+            "optimizer='adam' for scheduled learning rates")
+
+
 def make_compact_lazy_epoch_fn(cfg: Config):
     """Fused epoch with lazy Adam: per step, only the cluster's gathered rows
     (users, items, and a deduplicated union with sampled negatives) move."""
+    _require_constant_lr(cfg, "lazy_adam")
     b1, b2, eps = cfg.train.adam_b1, cfg.train.adam_b2, cfg.train.adam_eps
     lr = cfg.train.lr
     clip = cfg.train.grad_clip_norm
@@ -421,8 +507,8 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             ecount = x[8]
             user_valid, item_valid, nk, adj = x[9], x[10], x[11], x[12]
             user_ids, item_ids = cluster[0], cluster[1]
-            neg = sample_negative(nk, cluster[5].shape[0], num_items,
-                                  num=cfg.train.num_negatives)
+            neg = _step_negatives(cfg, nk, cluster[0], cluster[5],
+                                  num_items, cc.member_table)
 
             u_rows = params.user_emb[user_ids]
             i_rows = params.item_emb[item_ids]
@@ -473,6 +559,171 @@ def create_lazy_train_state(cfg: Config, params: LightGCNParams) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+def make_compact_hybrid_epoch_fn(cfg: Config):
+    """Hybrid-Adam fused epoch: EXACT dense Adam on the item table, lazy
+    (SparseAdam-style, see :func:`_lazy_row_update`) on the user table.
+
+    Why this split wins on TPU (profiled at ML-25M scale, v5e):
+
+      * a compact cluster touches ≤1920 of 162,541 user rows (1.2%), yet dense
+        Adam sweeps all three user-table arrays every step — 921 µs of the
+        2.6 ms step, plus ~385 µs of dense-user-grad zeros/densify/norm. Lazy
+        user rows replace all of it with ~50 µs of row ops.
+      * the item table is hit broadly every step (30K uniform negatives across
+        59K items), so its dense sweep (95 µs) is CHEAPER than per-row lazy
+        moment gathers+scatters — and stays bit-exact reference Adam
+        (train_test.py:236): item moments decay every step, clip uses the true
+        dense-grad norm contribution.
+
+    State reuses :class:`LazyAdamState` (same pytree: full mu/nu tables +
+    count); only the update rule differs per table.
+
+    TPU scatter note (profiled): XLA:TPU lowers a functional scatter into a
+    big table as a FULL-TABLE rewrite (~93 µs for 1920 rows into the 41 MB
+    user table — a copy, not a row op), so per-step lazy scatters would cost
+    3 table copies/step. The greedy partitioner assigns each USER to exactly
+    one cluster, so instead each scan step emits its cluster's updated
+    (param, mu, nu) user rows as a scan OUTPUT, and the epoch writes all of
+    them back in ONE permutation-GATHER per table (no scatter at all:
+    ``new[u] = ys[inv_perm[user_cluster[u]], user_slot[u]]`` masked by
+    cluster membership) — ~1 ms/epoch instead of ~44 ms. The scan iterates
+    the cluster PERMUTATION itself and dynamic-slices each cluster's arrays
+    on demand, so the 1.4 GB stacked dense adjacency is never re-gathered
+    into permuted order (~8 ms/epoch saved).
+    """
+    _require_constant_lr(cfg, "hybrid_adam")
+    b1, b2, eps = cfg.train.adam_b1, cfg.train.adam_b2, cfg.train.adam_eps
+    lr = cfg.train.lr
+    clip = cfg.train.grad_clip_norm
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, cc: CompactClusters, key: jax.Array):
+        if not cc.users_disjoint or cc.user_cluster is None:
+            raise ValueError(
+                "hybrid_adam needs disjoint per-cluster user sets (greedy "
+                "node partition); rebuild the clusters with "
+                "partitioner='greedy' or use optimizer='adam'/'lazy_adam'")
+        num_items = state.params.item_emb.shape[0]
+        d = state.params.user_emb.shape[1]
+        k = cc.num_clusters
+        perm_key, neg_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, k)
+        keys = jax.random.split(neg_key, k)
+
+        def row_loss(u_rows, i_rows, n_rows, cluster, neg, adj):
+            (user_ids, item_ids, src, dst, w, user_local, pos_local, mask) = cluster
+            n_local = cc.u_pad + cc.i_pad
+            k1 = cfg.model.num_layers + 1
+            scale = 1.0 / (k1 * k1) if cfg.model.readout == "reference" else 1.0 / k1
+            cdtype = jnp.dtype(cfg.model.compute_dtype)
+            emb = jnp.concatenate([u_rows, i_rows], axis=0).astype(cdtype)
+            acc = _propagate_local(emb, src, dst, w, adj,
+                                   cfg.model.num_layers, n_local)
+            final = acc.astype(jnp.float32) * scale
+            fu, fi = final[:cc.u_pad], final[cc.u_pad:]
+            return _triplet_loss(fu, u_rows, fi, i_rows, n_rows, neg,
+                                 item_ids, user_local, pos_local, mask,
+                                 cfg, cc.i_pad, scale, num_items=num_items)
+
+        user_emb0 = state.params.user_emb
+        mu_u0 = state.opt_state.mu.user_emb
+        nu_u0 = state.opt_state.nu.user_emb
+
+        def body(carry, x):
+            item_emb, mu_i, nu_i, cnt = carry
+            c, nk = x                      # cluster id (traced) + PRNG key
+            cluster = (cc.user_ids[c], cc.item_ids[c], cc.src[c], cc.dst[c],
+                       cc.w[c], cc.user_local[c], cc.pos_local[c], cc.mask[c])
+            ecount = cc.edge_counts[c]
+            user_valid = cc.user_valid[c]
+            item_valid = cc.item_valid[c]
+            adj = cc.adj[c] if cc.adj is not None else None
+            user_ids, item_ids = cluster[0], cluster[1]
+            neg = _step_negatives(cfg, nk, cluster[0], cluster[5],
+                                  num_items, cc.member_table)
+
+            # user rows come from the epoch-START tables: each user belongs
+            # to exactly one cluster, so its rows are read and updated by
+            # exactly one step — epoch-start reads ARE the current values
+            u_rows = user_emb0[user_ids]
+            mu_rows = mu_u0[user_ids]
+            nu_rows = nu_u0[user_ids]
+            i_rows = item_emb[item_ids]
+            n_rows = item_emb[neg]
+            loss, (gu, gi, gn) = jax.value_and_grad(row_loss, argnums=(0, 1, 2))(
+                u_rows, i_rows, n_rows, cluster, neg, adj)
+
+            # exact DENSE item gradient (duplicate negative rows sum — torch
+            # autograd semantics). Negatives go through sort + sorted
+            # segment-sum (f32 sums reorder only): ~100 µs/step cheaper than
+            # the unsorted scatter lowering at ML-25M scale.
+            gu = gu * user_valid[:, None].astype(gu.dtype)
+            neg_flat = neg.reshape(-1)
+            gn_flat = gn.reshape(neg_flat.shape[0], -1)
+            neg_s, a = jax.lax.sort_key_val(
+                neg_flat, jnp.arange(neg_flat.shape[0], dtype=jnp.int32))
+            gi_dense = jax.ops.segment_sum(gn_flat[a], neg_s,
+                                           num_segments=num_items,
+                                           indices_are_sorted=True)
+            gi_dense = gi_dense.at[item_ids].add(
+                gi * item_valid[:, None].astype(gi.dtype),
+                indices_are_sorted=True, unique_indices=True)
+            # user rows are unique per cluster, so the masked row norm equals
+            # the dense user-grad norm exactly — clip semantics preserved
+            gn_norm = jnp.sqrt(jnp.sum(gu**2) + jnp.sum(gi_dense**2))
+            cscale = jnp.minimum(1.0, clip / jnp.maximum(gn_norm, 1e-6))
+
+            cnt = cnt + 1
+            tf = cnt.astype(jnp.float32)
+
+            # item table: textbook dense Adam (one fused three-table sweep);
+            # bias correction in the optax/torch form (eps OUTSIDE the
+            # corrected sqrt) so the item table matches optax.adam bit-for-bit
+            g = gi_dense * cscale
+            mu_i = b1 * mu_i + (1.0 - b1) * g
+            nu_i = b2 * nu_i + (1.0 - b2) * (g * g)
+            mhat = mu_i / (1.0 - b1**tf)
+            vhat = nu_i / (1.0 - b2**tf)
+            item_emb = item_emb - lr * mhat / (jnp.sqrt(vhat) + eps)
+
+            # user block: lazy Adam on this cluster's rows, pure elementwise
+            # (write-back deferred to the one epoch-end scatter)
+            lr_t = lr * jnp.sqrt(1.0 - b2**tf) / (1.0 - b1**tf)
+            gs = gu * cscale
+            m_new = b1 * mu_rows + (1.0 - b1) * gs
+            v_new = b2 * nu_rows + (1.0 - b2) * (gs * gs)
+            u_new = u_rows - lr_t * m_new / (jnp.sqrt(v_new) + eps)
+
+            return ((item_emb, mu_i, nu_i, cnt),
+                    (loss * ecount, u_new, m_new, v_new))
+
+        carry0 = (state.params.item_emb, state.opt_state.mu.item_emb,
+                  state.opt_state.nu.item_emb, state.opt_state.count)
+        (item_emb, mu_i, nu_i, cnt), (wlosses, u_out, mu_out, nu_out) = (
+            jax.lax.scan(body, carry0, (perm, keys)))
+
+        # write-back by PERMUTATION GATHER (no scatter): user u's new row sits
+        # at scan position inv_perm[user_cluster[u]], slot user_slot[u]; users
+        # in no cluster keep their old rows (and moments) — lazy semantics
+        inv_perm = jnp.zeros((k,), jnp.int32).at[perm].set(
+            jnp.arange(k, dtype=jnp.int32))
+        in_cluster = cc.user_cluster >= 0
+        pos = inv_perm[jnp.maximum(cc.user_cluster, 0)] * cc.u_pad + cc.user_slot
+        sel = in_cluster[:, None]
+        wb = lambda new, old: jnp.where(sel, new.reshape(-1, d)[pos], old)
+        user_emb = wb(u_out, user_emb0)
+        mu_u = wb(mu_out, mu_u0)
+        nu_u = wb(nu_out, nu_u0)
+
+        params = LightGCNParams(user_emb, item_emb)
+        ost = LazyAdamState(LightGCNParams(mu_u, mu_i),
+                            LightGCNParams(nu_u, nu_i), cnt)
+        mean_loss = jnp.sum(wlosses) / jnp.maximum(jnp.sum(cc.edge_counts), 1.0)
+        return TrainState(params, ost, state.step + cc.num_clusters), mean_loss
+
+    return epoch_fn
+
+
 def make_compact_epoch_fn(cfg: Config):
     """One fused ``lax.scan`` pass over all compact clusters per call.
 
@@ -483,6 +734,8 @@ def make_compact_epoch_fn(cfg: Config):
     """
     if cfg.train.optimizer == "lazy_adam":
         return make_compact_lazy_epoch_fn(cfg)
+    if cfg.train.optimizer == "hybrid_adam":
+        return make_compact_hybrid_epoch_fn(cfg)
     opt = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -503,8 +756,8 @@ def make_compact_epoch_fn(cfg: Config):
             st = carry
             cluster = x[:8]
             ecount, nk, adj = x[8], x[9], x[10]
-            neg = sample_negative(nk, cluster[5].shape[0], num_items,
-                                  num=cfg.train.num_negatives)
+            neg = _step_negatives(cfg, nk, cluster[0], cluster[5],
+                                  num_items, cc.member_table)
             loss, grads = jax.value_and_grad(compact_cluster_loss)(
                 st.params, cluster, neg, cfg, cc.u_pad, cc.i_pad, adj)
             updates, opt_state = opt.update(grads, st.opt_state, st.params)

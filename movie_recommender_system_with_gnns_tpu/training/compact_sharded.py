@@ -40,11 +40,13 @@ def make_compact_sharded_epoch_fn(cfg: Config, mesh: Mesh):
     pd = mesh.shape[DATA_AXIS]
     opt = make_optimizer(cfg)
 
-    def superstep(params, opt_state, cluster, ecount, adj, nk):
+    def superstep(params, opt_state, cluster, ecount, adj, nk, member):
         """Runs on ONE device with its own cluster; grads psum over 'data'."""
+        from .compact import _step_negatives
+
         num_items = params.item_emb.shape[0]
-        neg = sample_negative(nk, cluster[5].shape[0], num_items,
-                              num=cfg.train.num_negatives)
+        neg = _step_negatives(cfg, nk, cluster[0], cluster[5], num_items,
+                              member)
         loss, grads = jax.value_and_grad(compact_cluster_loss)(
             params, cluster, neg, cfg, *_pads(cfg), adj)
         # edge-count-weighted mean across the cluster batch
@@ -67,13 +69,14 @@ def make_compact_sharded_epoch_fn(cfg: Config, mesh: Mesh):
                 f"num_clusters={cc.num_clusters} must divide by data axis {pd}")
         pads["u"], pads["i"] = cc.u_pad, cc.i_pad
 
-        def sharded_body(params, opt_state, xs_slice):
+        def sharded_body(params, opt_state, xs_slice, member):
             # xs_slice leading dim = 1 on each device (sharded over 'data')
             (uids, iids, src, dst, w, ul, pl_, m, ec, adj, nk) = xs_slice
             cluster = (uids[0], iids[0], src[0], dst[0], w[0], ul[0], pl_[0], m[0])
             return superstep(params, opt_state,
                              cluster, ec[0],
-                             adj[0] if adj is not None else None, nk[0])
+                             adj[0] if adj is not None else None, nk[0],
+                             member)
 
         inner = jax.shard_map(
             sharded_body,
@@ -83,7 +86,8 @@ def make_compact_sharded_epoch_fn(cfg: Config, mesh: Mesh):
                        P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                        P(DATA_AXIS),
                        P(DATA_AXIS) if cc.adj is not None else None,
-                       P(DATA_AXIS))),
+                       P(DATA_AXIS)),
+                      P() if cc.member_table is not None else None),
             out_specs=(P(), P(), P()),
             # pallas_call outputs carry no varying-manifest annotations, which
             # the static vma checker rejects; skip it when the fused BPR
@@ -111,7 +115,8 @@ def make_compact_sharded_epoch_fn(cfg: Config, mesh: Mesh):
                     cc.adj[sel] if cc.adj is not None else None,
                     keys[sel],
                 )
-                params, opt_state, wloss = inner(params, opt_state, xs)
+                params, opt_state, wloss = inner(params, opt_state, xs,
+                                                 cc.member_table)
                 return (params, opt_state), wloss
 
             (params, opt_state), wlosses = jax.lax.scan(

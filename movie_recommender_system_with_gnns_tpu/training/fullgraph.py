@@ -100,6 +100,8 @@ def build_fullgraph_data(
         train_edge_index, num_nodes, node_part, num_parts,
         block_dtype=block_dtype,
         max_block_nodes=cfg.train.dense_adjacency_max_nodes,
+        off_format=cfg.train.hybrid_off_format,
+        ell_width=cfg.train.hybrid_ell_width,
     )
 
     users = uv[0].astype(np.int32)

@@ -120,13 +120,21 @@ def prepare_training_data(
         test = build_eval_batch(test_e, num_nodes, data.num_users)
         return TrainingBundle(data, train_obj, val, test, (train_e, val_e, test_e))
 
-    if cfg.train.negatives == "feasible":
+    if cfg.train.negatives == "feasible" and cfg.train.trainer != "compact":
         import warnings
 
         warnings.warn(
-            f"negatives='feasible' is only implemented on the fullgraph "
-            f"trainer; trainer={cfg.train.trainer!r} draws the reference's "
-            "uniform negatives (helpers.py:79-80)", stacklevel=2)
+            f"negatives='feasible' is implemented on the fullgraph and "
+            f"compact trainers; trainer={cfg.train.trainer!r} draws the "
+            "reference's uniform negatives (helpers.py:79-80)", stacklevel=2)
+
+    if (cfg.train.optimizer == "hybrid_adam"
+            and cfg.train.partitioner == "random_edges"):
+        raise ValueError(
+            "optimizer='hybrid_adam' requires the greedy node partitioner: "
+            "its once-per-epoch user-block gather/write-back assumes each "
+            "user's edges live in exactly one cluster, which "
+            "partitioner='random_edges' violates (a user spans many parts)")
 
     if cfg.train.use_clusters and cfg.train.num_clusters > 1:
         if cfg.train.partitioner == "random_edges":
@@ -142,7 +150,8 @@ def prepare_training_data(
         parts = [train_e]
 
     if cfg.train.trainer == "compact":
-        from .compact import build_compact_clusters, densify_adjacency
+        from .compact import (attach_member_table, build_compact_clusters,
+                              densify_adjacency)
 
         train_obj = build_compact_clusters(parts, data.num_users)
         if (cfg.train.dense_adjacency
@@ -150,6 +159,11 @@ def prepare_training_data(
                 <= cfg.train.dense_adjacency_max_nodes):
             train_obj = densify_adjacency(
                 train_obj, max_local_nodes=cfg.train.dense_adjacency_max_nodes)
+        if cfg.train.negatives == "feasible":
+            # exact rejection-resampled negatives on every compact epoch fn
+            # (adam / lazy_adam / hybrid_adam and the data-parallel sharded
+            # trainer) — closes the r2 downgrade-warning hole
+            train_obj = attach_member_table(train_obj, train_e, data.num_users)
     else:
         train_obj = build_cluster_batches(parts, data.num_users, num_nodes)
 

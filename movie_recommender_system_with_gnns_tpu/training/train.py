@@ -363,7 +363,7 @@ def train_model(
     elif isinstance(clusters, CompactClusters):
         stacked = clusters
         epoch_fn = make_compact_epoch_fn(cfg)
-        if cfg.train.optimizer == "lazy_adam":
+        if cfg.train.optimizer in ("lazy_adam", "hybrid_adam"):
             from .compact import LazyAdamState, init_lazy_adam
 
             if not isinstance(state.opt_state, LazyAdamState):

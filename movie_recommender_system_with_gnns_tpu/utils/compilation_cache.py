@@ -7,7 +7,39 @@ performance feature: enable it in every entrypoint before the first jit runs.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint(backend: str) -> str:
+    """Short fingerprint isolating cache entries per machine type.
+
+    CPU AOT executables embed host ISA feature assumptions — loading an entry
+    compiled on a different microarchitecture can SIGILL (observed as
+    cpu_aot_loader feature-mismatch warnings in the r2 multichip dryrun), so
+    CPU entries key on the host's feature-flag set. Other backends key on the
+    device kind (e.g. 'TPU v5 lite') so cache dirs survive chip swaps safely.
+    """
+    if backend == "cpu":
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                        break
+        except OSError:
+            import platform
+
+            flags = platform.machine() + platform.processor()
+        return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    return kind.replace(" ", "-").lower()
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
@@ -19,9 +51,10 @@ def enable_compilation_cache(path: str | None = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
-    # per-backend subdir: CPU AOT entries carry host-machine feature flags and
-    # must not be shared with entries from other backends/configs
-    path = os.path.join(path, jax.default_backend())
+    # per-backend + per-machine-fingerprint subdir: AOT entries carry host /
+    # device feature assumptions and must never be shared across machine types
+    backend = jax.default_backend()
+    path = os.path.join(path, f"{backend}-{_host_fingerprint(backend)}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache EVERYTHING: on this platform even trivial eager-op compiles pay a

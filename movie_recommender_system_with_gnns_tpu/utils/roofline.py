@@ -1,0 +1,177 @@
+"""Measured row-op roofline for the compact training epoch.
+
+VERDICT r2 asked for proof that the headline epoch is near its real ceiling:
+XLA cost analysis reports FLOPs and logical bytes, but this workload is bound
+by ROW-GRANULAR operations (gathers, scatters/segment-sums, table sweeps)
+whose cost is per-row, not per-byte. This module
+
+  1. microbenchmarks the four primitive rates the epoch is built from, on the
+     actual device, with differential timing (two repeat counts, marginal
+     cost — the remote-tunnel dispatch latency of ~25 ms/call cancels out);
+  2. counts the epoch's row ops / sweep bytes / MXU FLOPs analytically from
+     the static shapes of the compiled program;
+  3. combines them into a sequential floor: ``floor_s = Σ component costs``
+     assuming every primitive runs at its measured-best rate with no overlap.
+
+``rowop_util = floor_s / measured_epoch_s`` is then an honest utilization
+number for a row-op-bound program (the analog of mfu/hbm_util for FLOP- or
+bandwidth-bound ones). Rates are cached per process; each rate costs two
+small jit compiles (fast under the persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, NamedTuple
+
+import numpy as np
+
+
+class RowOpRates(NamedTuple):
+    gather_ns_row: float      # random row gather, d=64 f32, large table
+    segment_ns_row: float     # sorted segment-sum row into a dense (I, d) out
+    sort_ns_row: float        # int32 sort_key_val per row
+    sweep_gbps: float         # fused multi-array elementwise table sweep
+
+
+def _diff_time(make_fn, args, r1: int = 50, r2: int = 300) -> float:
+    """Marginal seconds/iteration between two fori_loop repeat counts."""
+    import jax
+
+    f1, f2 = make_fn(r1), make_fn(r2)
+    outs = []
+    for f in (f1, f2):
+        out = f(*args)
+        float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        outs.append(out)
+
+    def run(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = f(*args)
+            float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+            best = min(best, time.time() - t0)
+        return best
+
+    return max((run(f2) - run(f1)) / (r2 - r1), 1e-9)
+
+
+def measure_rowop_rates(num_rows: int = 59_047, d: int = 64,
+                        batch: int = 30_336) -> RowOpRates:
+    """Measure the primitive rates on the current default device."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (num_rows, d), jnp.float32)
+    rows = jax.random.randint(key, (batch,), 0, num_rows)
+    rows_sorted = jnp.sort(rows)
+    vals = jax.random.normal(key, (batch, d), jnp.float32)
+
+    def mk(body):
+        def make(rep):
+            @jax.jit
+            def f(x, *args):
+                return jax.lax.fori_loop(0, rep, lambda i, x: body(x, *args), x)
+            return f
+        return make
+
+    # gather: carry-dependent indices so nothing hoists out of the loop
+    def g(x, t, r):
+        return x + jnp.sum(t[(r + x.astype(jnp.int32)) % num_rows])
+    t_gather = _diff_time(mk(g), (jnp.zeros((), jnp.float32), table, rows))
+
+    def seg(t, r, v):
+        return t + jax.ops.segment_sum(v, r, num_segments=num_rows,
+                                       indices_are_sorted=True)
+    t_seg = _diff_time(mk(seg), (table, rows_sorted, vals))
+
+    def srt(x, r):
+        s, a = jax.lax.sort_key_val((r + x.astype(jnp.int32)) % num_rows,
+                                    jnp.arange(batch, dtype=jnp.int32))
+        return x + s[0].astype(jnp.float32) * 1e-9 + a[0].astype(jnp.float32) * 1e-9
+    t_sort = _diff_time(mk(srt), (jnp.zeros((), jnp.float32), rows))
+
+    # fused 3-array sweep (adam-shaped): reads t, m, v, g; writes t, m, v
+    mu = jnp.zeros_like(table)
+    nu = jnp.zeros_like(table)
+
+    def sweep(s, g_):
+        t, m, v = s
+        m = 0.9 * m + 0.1 * g_
+        v = 0.999 * v + 0.001 * (g_ * g_)
+        return (t - 1e-3 * m / (jnp.sqrt(v) + 1e-8), m, v)
+    t_sweep = _diff_time(mk(sweep), ((table, mu, nu), table))
+    sweep_bytes = 7 * num_rows * d * 4  # 4 reads + 3 writes
+
+    return RowOpRates(
+        gather_ns_row=t_gather / batch * 1e9,
+        segment_ns_row=t_seg / batch * 1e9,
+        sort_ns_row=t_sort / batch * 1e9,
+        sweep_gbps=sweep_bytes / t_sweep / 1e9,
+    )
+
+
+def compact_epoch_floor(
+    *,
+    num_users: int,
+    num_items: int,
+    d: int,
+    num_layers: int,
+    num_clusters: int,
+    u_pad: int,
+    i_pad: int,
+    b_pad: int,
+    rates: RowOpRates,
+    peak_flops: float,
+    optimizer: str = "hybrid_adam",
+) -> Dict[str, float]:
+    """Sequential floor (seconds) for one compact epoch, by component.
+
+    Counts mirror training/compact.py::make_compact_hybrid_epoch_fn (the fast
+    path) or the dense-adam epoch. ``b_pad`` is the padded triplet width
+    (kernel-tile aligned); the fused BPR kernel's one-hot FLOPs are counted at
+    the MXU's spec peak — an aggressive floor (its measured efficiency is
+    ~55%, bounded by VPU one-hot builds and transcendentals).
+    """
+    n_local = u_pad + i_pad
+    steps = num_clusters
+
+    # MXU: fused BPR one-hot matmuls (fwd + VJP) + dense-Â propagation
+    bpr_flops = 4.0 * b_pad * d * (2 * u_pad + 3 * i_pad)
+    prop_flops = 2 * num_layers * 2.0 * n_local * n_local * d  # fwd + sym bwd
+    t_mxu = steps * (bpr_flops + prop_flops) / peak_flops
+
+    # row ops per step
+    gather_rows = b_pad * 3 + i_pad + 3 * u_pad   # ni + inv-probe + gn-perm + rows
+    segment_rows = b_pad                          # sorted neg-grad densify
+    sort_rows = b_pad
+    t_rows = steps * (gather_rows * rates.gather_ns_row
+                      + segment_rows * rates.segment_ns_row
+                      + sort_rows * rates.sort_ns_row) * 1e-9
+
+    # dense sweeps per step: item adam (7 arrays) + grad-norm read (1)
+    item_bytes = num_items * d * 4
+    sweep_bytes = steps * 8 * item_bytes
+    if optimizer == "adam":
+        # dense user adam + user grad zeros/densify/norm sweeps as well
+        user_bytes = num_users * d * 4
+        sweep_bytes += steps * 10 * user_bytes
+    t_sweep = sweep_bytes / (rates.sweep_gbps * 1e9)
+
+    # per-epoch write-back (hybrid): 3 permutation gathers + 3 where-sweeps
+    t_epoch = 0.0
+    if optimizer == "hybrid_adam":
+        user_bytes = num_users * d * 4
+        t_epoch = (3 * num_users * rates.gather_ns_row * 1e-9
+                   + 3 * 3 * user_bytes / (rates.sweep_gbps * 1e9))
+
+    floor = t_mxu + t_rows + t_sweep + t_epoch
+    return {
+        "floor_s": floor,
+        "floor_mxu_s": t_mxu,
+        "floor_rowop_s": t_rows,
+        "floor_sweep_s": t_sweep,
+        "floor_epoch_fixed_s": t_epoch,
+    }

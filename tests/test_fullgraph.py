@@ -54,6 +54,29 @@ def test_symmetric_vjp_matches_autodiff():
     assert rel < 1e-5, rel
 
 
+def test_chunked_ell_matches_coo_remainder():
+    """hybrid(off_format='ell') ≡ hybrid(off_format='coo') ≡ full segment-sum
+    (chunk reduction only reorders f32 sums within a destination row)."""
+    from movie_recommender_system_with_gnns_tpu.data.graph import COOGraph
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+        DeviceCOO, build_hybrid_graph, spmm_hybrid, spmm_segment,
+    )
+
+    data, n, node_part = _tiny_setup(seed=7)
+    h_ell = build_hybrid_graph(data.edge_index, n, node_part, 4, align=8,
+                               block_dtype=jnp.float32, off_format="ell",
+                               ell_width=4)
+    h_coo = build_hybrid_graph(data.edge_index, n, node_part, 4, align=8,
+                               block_dtype=jnp.float32, off_format="coo")
+    full = DeviceCOO.from_host(COOGraph.build(data.edge_index, n))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (n, 16))
+    a = np.asarray(spmm_hybrid(h_ell, emb))
+    b = np.asarray(spmm_hybrid(h_coo, emb))
+    c = np.asarray(spmm_segment(full, emb))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
 def test_fullgraph_loss_and_grads_match_segment_oracle():
     from movie_recommender_system_with_gnns_tpu.data.graph import COOGraph
     from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
@@ -223,7 +246,9 @@ def test_fullgraph_trainer_feasible_negatives_learns(tmp_path):
     assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
 
 
-def test_feasible_negatives_warn_on_non_fullgraph_trainer(tmp_path):
+def test_feasible_negatives_warn_on_full_space_trainer(tmp_path):
+    """Only the legacy full-node-space trainer still downgrades (compact and
+    fullgraph both sample exactly now)."""
     import warnings
 
     from movie_recommender_system_with_gnns_tpu.config import DataConfig
@@ -236,13 +261,65 @@ def test_feasible_negatives_warn_on_non_fullgraph_trainer(tmp_path):
                         synthetic_items=80, synthetic_interactions=1500,
                         indexes_dir=str(tmp_path / "idx")),
         model=ModelConfig(num_layers=2, dim=8),
-        train=TrainConfig(trainer="compact", num_clusters=2,
+        train=TrainConfig(trainer="full", num_clusters=2,
                           negatives="feasible"),
     )
     with warnings.catch_warnings(record=True) as wlog:
         warnings.simplefilter("always")
         prepare_training_data(cfg)
     assert any("negatives='feasible'" in str(w.message) for w in wlog)
+
+
+def test_compact_feasible_negatives_all_optimizers(tmp_path):
+    """negatives='feasible' on the compact trainer: the member table rides the
+    cluster set, every epoch fn (adam / lazy / hybrid) trains, and drawn
+    negatives avoid the user's train items exactly."""
+    from movie_recommender_system_with_gnns_tpu.config import DataConfig
+    from movie_recommender_system_with_gnns_tpu.ops.sampling import _member_probe
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        _step_negatives, create_lazy_train_state, make_compact_epoch_fn,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.pipeline import (
+        prepare_training_data,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        create_train_state,
+    )
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+
+    base = dict(trainer="compact", num_clusters=2, negatives="feasible", lr=1e-2)
+    for opt in ("adam", "lazy_adam", "hybrid_adam"):
+        cfg = Config(
+            data=DataConfig(dataset="synthetic", synthetic_users=50,
+                            synthetic_items=80, synthetic_interactions=1500,
+                            indexes_dir=str(tmp_path / f"idx_{opt}")),
+            model=ModelConfig(num_layers=2, dim=8),
+            train=TrainConfig(optimizer=opt, **base),
+        )
+        data, cc, val, test = prepare_training_data(cfg)
+        assert cc.member_table is not None
+        if opt == "adam":
+            state = create_train_state(cfg, data.num_users, data.num_items)
+        else:
+            state = create_lazy_train_state(
+                cfg, init_params(jax.random.PRNGKey(0), data.num_users,
+                                 data.num_items, 8))
+        fn = make_compact_epoch_fn(cfg)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state, loss = fn(state, cc, sub)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0], (opt, losses)
+
+    # drawn negatives are never train pairs (probe the sampler directly)
+    neg = _step_negatives(cfg, jax.random.PRNGKey(2), cc.user_ids[0],
+                          cc.user_local[0], data.num_items, cc.member_table)
+    users = cc.user_ids[0][cc.user_local[0]]
+    hits = _member_probe(cc.member_table, users, neg)
+    valid = np.asarray(cc.mask[0])
+    assert not bool(np.asarray(hits)[valid].any())
 
 
 def test_member_probe_exact_at_ml25m_id_scale():
