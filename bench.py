@@ -232,6 +232,48 @@ def bench_tpu_epoch(data, parts, scale, epochs=3, trainer="compact",
     return best, util, paths, shapes
 
 
+def bench_fullgraph_epoch(data, scale, epochs=2):
+    """Single-chip fullgraph-trainer epoch (training/fullgraph.py): every step
+    propagates ALL train edges via the hybrid dense-blocks + chunked-ELL
+    remainder. Isolates the mesh wrapper's overhead from the kernel itself
+    (VERDICT r2 item 2c). Returns (epoch_s, steps)."""
+    import jax
+
+    from movie_recommender_system_with_gnns_tpu.config import Config, ModelConfig, TrainConfig
+    from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
+        build_fullgraph_data, make_fullgraph_epoch_fn,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import create_train_state
+
+    cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]),
+                 train=TrainConfig(trainer="fullgraph",
+                                   num_clusters=scale["clusters"]))
+    t0 = time.time()
+    fg = build_fullgraph_data(cfg, data.edge_index, data.num_users,
+                              data.num_users + data.num_items)
+    sys.stderr.write(f"[bench] fullgraph 1-chip: {fg.num_steps} steps x batch "
+                     f"{fg.batch}, hybrid built in {time.time()-t0:.1f}s "
+                     f"(off=chunked-ell)\n")
+    state = create_train_state(cfg, data.num_users, data.num_items)
+    epoch_fn = make_fullgraph_epoch_fn(cfg, fg)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    state, loss = epoch_fn(state, fg, sub)
+    float(loss)
+    sys.stderr.write(f"[bench] fullgraph warmup (incl. compile): {time.time()-t0:.1f}s\n")
+    times = []
+    for _ in range(epochs):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, loss = epoch_fn(state, fg, sub)
+        loss = float(loss)
+        times.append(time.time() - t0)
+    sys.stderr.write(f"[bench] fullgraph 1-chip epoch times: "
+                     f"{[f'{t:.2f}' for t in times]}, final loss {loss:.4f}\n")
+    return min(times), fg.num_steps
+
+
 def bench_sharded_epoch(data, scale, epochs=2):
     """The multi-chip scaling path timed on the real chip at mesh (1,1).
 
@@ -513,16 +555,21 @@ def main():
 
     sharded = {}
     if not args.skip_sharded:
+        fg_s, fg_steps = bench_fullgraph_epoch(data, scale,
+                                               epochs=max(args.epochs - 1, 1))
         sh_s, sh_util, sh_extras = bench_sharded_epoch(data, scale,
                                                        epochs=max(args.epochs - 1, 1))
         sharded = {
+            "fullgraph_1chip_epoch_s": round(fg_s, 4),
+            "fullgraph_steps": fg_steps,
             "sharded_1chip_epoch_s": round(sh_s, 4),
             "sharded_mfu": sh_util["mfu"],
             "sharded_hbm_util": sh_util["hbm_util"],
             "sharded_achieved_tflops": sh_util["achieved_tflops"],
         }
         paths["sharded_prop"] = (f"hybrid-mxu[{sh_extras['parts']}x"
-                                 f"{sh_extras['block_width']}]+coo, symmetric-vjp")
+                                 f"{sh_extras['block_width']}]+chunked-ell, "
+                                 "symmetric-vjp")
 
     serving_qps, mips_util = bench_serving(data, scale)
     sys.stderr.write(f"[bench] serving: {serving_qps:.0f} queries/s "

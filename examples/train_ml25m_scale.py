@@ -61,6 +61,10 @@ def main():
                          "(fullgraph trainer)")
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["adam", "lazy_adam", "hybrid_adam"],
+                    help="hybrid_adam = the compact trainer's fast path "
+                         "(exact dense Adam items + lazy user rows)")
     ap.add_argument("--balance-tol", type=float, default=0.0,
                     help="kept-edge balance cap (tol x mean; 0 = off)")
     ap.add_argument("--seed", type=int, default=0,
@@ -93,6 +97,7 @@ def main():
                           num_negatives=args.num_negatives,
                           negatives=args.negatives,
                           partition_balance_tol=args.balance_tol, seed=args.seed,
+                          optimizer=args.optimizer,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),
                           histories_dir=args.out),
     )

@@ -45,6 +45,18 @@ def _host_fingerprint(backend: str) -> str:
 def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # Do not persist XLA:CPU AOT executables: the loader compares the
+        # compile-time feature string (which XLA extends with tuning
+        # pseudo-features like +prefer-no-scatter) against the host's real
+        # feature set, so every load — even same-machine — logs a
+        # could-SIGILL feature-mismatch error (seen in the r2 multichip
+        # dryrun), and a genuinely foreign entry could actually SIGILL.
+        # CPU compiles are local and fast; only remote TPU compiles are worth
+        # caching. Opt back in explicitly with MRGNN_JAX_CACHE_CPU=1.
+        if not os.environ.get("MRGNN_JAX_CACHE_CPU"):
+            return ""
     if path is None:
         path = os.environ.get(
             "MRGNN_JAX_CACHE",
@@ -53,7 +65,6 @@ def enable_compilation_cache(path: str | None = None) -> str:
         )
     # per-backend + per-machine-fingerprint subdir: AOT entries carry host /
     # device feature assumptions and must never be shared across machine types
-    backend = jax.default_backend()
     path = os.path.join(path, f"{backend}-{_host_fingerprint(backend)}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
