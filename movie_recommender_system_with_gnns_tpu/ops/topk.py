@@ -47,18 +47,30 @@ def mips_topk(
     """Cosine/MIPS top-k: returns (scores (Q, k), indices (Q, k)).
 
     Strategies (measured on v5e, Q=256, N=59K, d=64):
+      * ``twophase``— full (Q, N) scores once in HBM, 128-lane chunk maxima,
+                      ``top_k`` over chunks, then exact re-selection inside the
+                      winning chunks. EXACT by chunk containment (at most k−1
+                      elements outrank the k-th, so its chunk is a top-k
+                      chunk). Two bandwidth passes over the score matrix and
+                      ~k·Q tiny gathers — the fastest exact path for batched
+                      serving (top-k extraction is what made the others
+                      VPU-bound: per-block iterative max-and-mask costs ~23×
+                      the scoring matmul's MXU time);
       * ``flat``    — full (Q, N) scores + ``lax.approx_max_k`` (the TPU-native
                       MIPS selection primitive; exact at recall_target=1.0) —
                       1.9 ms exact / 1.2 ms @0.99-recall per 256-query batch;
       * ``blocked`` — ``block``-item tiles with a running (Q, k+block) merge:
                       no (Q, N) intermediate, for catalogs where the flat score
                       matrix would blow HBM — 3.0 ms at the same size;
-      * ``auto``    — flat while Q·N·4 ≤ ``max_flat_bytes``, else blocked.
+      * ``auto``    — twophase while the (Q, N) score matrix fits
+                      ``max_flat_bytes``, else blocked.
     ``recall_target < 1.0`` trades exactness for speed in flat mode only.
     """
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
     nq_, n_ = q.shape[0], c.shape[0]
+    if method == "auto":
+        method = "twophase" if nq_ * n_ * 4 <= max_flat_bytes else "blocked"
     if method == "pallas":
         from .pallas_mips import mips_topk_pallas
 
@@ -66,10 +78,27 @@ def mips_topk(
         # iota tile pair sits at the 16 MB VMEM edge (pallas_mips.py)
         return mips_topk_pallas(query, catalog, k=k, block=block or 4096,
                                 normalize=normalize, exclude_mask=exclude_mask)
+    if method == "twophase":
+        ch = 128
+        s = q @ c.T                                        # (Q, N) — MXU
+        if exclude_mask is not None:
+            s = jnp.where(exclude_mask, NEG_INF, s)
+        n = s.shape[1]
+        pad = (-n) % ch
+        if pad:
+            s = jnp.concatenate(
+                [s, jnp.full((nq_, pad), NEG_INF, s.dtype)], axis=1)
+        nc = (n + pad) // ch
+        s3 = s.reshape(nq_, nc, ch)
+        cm = jnp.max(s3, axis=-1)                          # (Q, nc)
+        kc = min(k, nc)    # small catalogs: fewer chunks than k is still exact
+        _, ci = jax.lax.top_k(cm, kc)                      # winning chunks
+        sel = jnp.take_along_axis(s3, ci[:, :, None], axis=1)  # (Q, kc, ch)
+        vs, vi = jax.lax.top_k(sel.reshape(nq_, kc * ch), k)
+        chunk = jnp.take_along_axis(ci, vi // ch, axis=1)
+        return vs, chunk * ch + vi % ch
     if block is None:
         block = 8192
-    if method == "auto":
-        method = "flat" if nq_ * n_ * 4 <= max_flat_bytes else "blocked"
     if method == "flat":
         s = q @ c.T
         if exclude_mask is not None:

@@ -16,7 +16,7 @@ from movie_recommender_system_with_gnns_tpu.serving.recommend import (
 import pytest
 
 
-@pytest.mark.parametrize("method", ["flat", "blocked"])
+@pytest.mark.parametrize("method", ["flat", "blocked", "twophase"])
 def test_mips_topk_matches_full_sort(rng, method):
     q = rng.standard_normal((7, 16)).astype(np.float32)
     c = rng.standard_normal((1000, 16)).astype(np.float32)
@@ -45,11 +45,31 @@ def test_mips_topk_exclusion(rng):
     idx_flat = np.asarray(mips_topk(jnp.asarray(q), jnp.asarray(c), k=5,
                                     exclude_mask=jnp.asarray(mask),
                                     method="flat")[1])
+    idx_tp = np.asarray(mips_topk(jnp.asarray(q), jnp.asarray(c), k=5,
+                                  exclude_mask=jnp.asarray(mask),
+                                  method="twophase")[1])
     for r in range(3):
         assert banned[r] not in idx_flat[r]
+        assert banned[r] not in idx_tp[r]
     idx = np.asarray(idx)
     for r in range(3):
         assert banned[r] not in idx[r]
+
+
+def test_mips_twophase_adversarial_chunk_collisions(rng):
+    """All global top-k packed into ONE 128-lane chunk — the exactness edge
+    case of the chunk-containment argument."""
+    c = rng.standard_normal((1024, 8)).astype(np.float32) * 0.01
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    # make items 256..265 (one chunk) the overwhelming best for query 0
+    c[256:266] = q[0] * 10 + rng.standard_normal((10, 8)).astype(np.float32) * 0.1
+    s, i = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, method="twophase")
+    ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
+    ref_idx = np.argsort(-ref, axis=1)[:, :10]
+    np.testing.assert_allclose(np.asarray(s),
+                               np.take_along_axis(ref, ref_idx, 1),
+                               rtol=1e-4, atol=1e-5)
+    assert set(np.asarray(i)[0]) == set(ref_idx[0])
 
 
 def test_mips_topk_nondivisible_block(rng):
