@@ -453,8 +453,11 @@ def bench_serving(data, scale, batch=1024, groups=8, iters=8):
 
     @jax.jit
     def serve_many(qg):   # (groups, batch, d)
+        # bf16 scores: half the score-matrix HBM traffic, 2x MXU rate; exact
+        # top-k of the bf16 scores (tests/test_topk_serving.py bf16 oracle)
         return jax.lax.map(
-            lambda q: mips_topk(q, params.item_emb, k=10, method="twophase"),
+            lambda q: mips_topk(q, params.item_emb, k=10, method="twophase",
+                                score_dtype="bfloat16"),
             qg)
 
     b = min(batch, params.user_emb.shape[0] // groups)
@@ -471,12 +474,12 @@ def bench_serving(data, scale, batch=1024, groups=8, iters=8):
     d = qg.shape[-1]
     items = params.item_emb.shape[0]
     nq = groups * b
-    # analytic cost: score matmul FLOPs; HBM traffic = catalog reads + TWO
-    # passes over the (Q, N) score matrix (write + chunk-max/rescore reads)
+    # analytic cost: score matmul FLOPs; HBM traffic = catalog reads (f32) +
+    # TWO passes over the bf16 (Q, N) score matrix (write + chunk-max reads)
     flops = 2.0 * nq * items * d
-    bytes_acc = 4.0 * (groups * items * d + nq * d) + 2 * 4.0 * nq * items
+    bytes_acc = 4.0 * (groups * items * d + nq * d) + 2 * 2.0 * nq * items
     util = {f"mips_{k}": v for k, v in utilization(flops, bytes_acc, best).items()}
-    sys.stderr.write(f"[bench] mips twophase x{groups} batches of {b}: "
+    sys.stderr.write(f"[bench] mips twophase-bf16 x{groups} batches of {b}: "
                      f"{best*1e3:.2f} ms/dispatch -> {util}\n")
     return nq / best, util
 
@@ -560,6 +563,14 @@ def main():
 
     sharded = {}
     if not args.skip_sharded:
+        # free the compact sections' device arrays (stacked clusters + dense
+        # Â blocks, ~1.6 GB at ML-25M scale) before the full-graph sections
+        # build their own hybrid adjacency — both resident at once pushed the
+        # chip over HBM in r3 bring-up (RESOURCE_EXHAUSTED)
+        import gc
+
+        cache.clear()
+        gc.collect()
         fg_s, fg_steps = bench_fullgraph_epoch(data, scale,
                                                epochs=max(args.epochs - 1, 1))
         sh_s, sh_util, sh_extras = bench_sharded_epoch(data, scale,

@@ -67,8 +67,19 @@ def main():
     ap.add_argument("--split", default="interaction", choices=["edge", "interaction"])
     ap.add_argument("--negatives", default="uniform", choices=["uniform", "feasible"])
     ap.add_argument("--fullgraph-steps", type=int, default=16)
+    ap.add_argument("--compact-lr-scale", type=float, default=1.0,
+                    help="lr multiplier for compact epochs only. Cluster "
+                    "gradients are biased (39%% edge retention drops every "
+                    "inter-cluster message/negative): at full lr the 100 "
+                    "biased updates/epoch overfit intra-cluster structure "
+                    "faster than the 16 unbiased full-graph updates per "
+                    "refresh can correct (measured collapse 0.23->0.11 over "
+                    "epochs 19-59, runs/bridge_d128_r5_naive_collapse.log); "
+                    "shrinking only the biased steps bounds that drift")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--eval-users", type=int, default=5000)
+    ap.add_argument("--final-eval-users", type=int, default=0,
+                    help="user count for the final test eval (0 = ALL users)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--users", type=int, default=162_541)
     ap.add_argument("--items", type=int, default=59_047)
@@ -78,7 +89,7 @@ def main():
     print("argv:", " ".join(sys.argv[1:]))
 
     base_train = dict(
-        num_clusters=100, loss=args.loss, lr=args.lr,
+        num_clusters=100, loss=args.loss,
         num_negatives=args.num_negatives, negatives=args.negatives,
         fullgraph_steps=args.fullgraph_steps, seed=args.seed,
         partition_balance_tol=1.1, fused_bpr=(args.loss == "reference"),
@@ -91,10 +102,12 @@ def main():
                         split_level=args.split,
                         indexes_dir=os.path.join(args.out, "indexes")),
         model=ModelConfig(num_layers=args.layers, dim=args.dim),
-        train=TrainConfig(trainer="compact", epochs=args.epochs, **base_train),
+        train=TrainConfig(trainer="compact", epochs=args.epochs,
+                          lr=args.lr * args.compact_lr_scale, **base_train),
     )
     cfg_f = cfg_c.replace(train=TrainConfig(trainer="fullgraph",
-                                            epochs=args.epochs, **base_train))
+                                            epochs=args.epochs, lr=args.lr,
+                                            **base_train))
 
     print(f"devices: {jax.devices()}")
     t0 = time.time()
@@ -159,16 +172,22 @@ def main():
     print(f"steady-state: compact {sc:.2f}s x{n_c}, fullgraph {sf:.2f}s x{n_f} "
           f"-> amortized {amort:.2f}s/epoch")
 
-    # test metric at the best-val checkpoint
+    # test metric at the best-val checkpoint — at FULL user count by default
+    # (VERDICT r2 item 9: time the 162K-user full-catalog eval and record the
+    # mask-build fraction; the seen mask is now built on device from index
+    # pairs, training/evaluate.py::score_topk)
     from movie_recommender_system_with_gnns_tpu.training.checkpoint import load_params
     bp, _ = load_params(os.path.join(args.out, "best_fullrank.npz"))
     rt, nt = evaluate_full_ranking(bp, train_e, test_e, data.num_users, k=10,
-                                   max_users=args.eval_users,
+                                   max_users=args.final_eval_users or None,
                                    normalize=eval_normalize, cfg=cfg_c)
+    timings = evaluate_full_ranking.last_timings
     print(f"TEST at best-val (epoch {best['epoch']}): Recall@10 {rt:.4f} "
-          f"NDCG@10 {nt:.4f}; amortized epoch {amort:.2f}s")
+          f"NDCG@10 {nt:.4f}; amortized epoch {amort:.2f}s; "
+          f"eval timings {timings}")
     logger.log(args.epochs, test_full_recall10=rt, test_full_ndcg10=nt,
-               amortized_epoch_s=amort)
+               amortized_epoch_s=amort, **{f"eval_{k_}": v for k_, v in
+                                           timings.items() if k_ != "sharded"})
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ segment count and the output row count must be compile-time constants.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, NamedTuple, Tuple
@@ -105,8 +106,21 @@ def densify_blocks(blk, dst, src, w, num_blocks: int, width: int,
     bincount failure like the host build it replaced). Peak-HBM note: the
     scatter accumulates into a transient f32 (num_blocks, width²) buffer
     before the ``dtype`` cast — ~2× the final bf16 array (~2.6 GB at ML-25M
-    scale) during graph build.
+    scale) during graph build. Set ``MRS_TPU_DEBUG_CHECKS=1`` to restore a
+    loud host-side range check on ``blk``/``dst``/``src`` before the scatter
+    (build-time only; off by default so the hot path stays check-free).
     """
+    if os.environ.get("MRS_TPU_DEBUG_CHECKS") == "1":
+        b = np.asarray(blk).reshape(-1)
+        d = np.asarray(dst).reshape(-1)
+        s = np.asarray(src).reshape(-1)
+        for name, arr, hi in (("blk", b, num_blocks), ("dst", d, width),
+                              ("src", s, width)):
+            if arr.size and (arr.min() < 0 or arr.max() >= hi):
+                raise ValueError(
+                    f"densify_blocks: {name} index out of range "
+                    f"[{arr.min()}, {arr.max()}] vs [0, {hi}) — malformed "
+                    f"padding would be silently dropped under jit")
     return _densify_jit(jnp.asarray(blk), jnp.asarray(dst), jnp.asarray(src),
                         jnp.asarray(w), num_blocks=int(num_blocks),
                         width=int(width), dtype=jnp.dtype(dtype))
@@ -377,34 +391,42 @@ def build_hybrid_graph(
                     dst=jnp.asarray(o_dst, jnp.int32),
                     w=jnp.asarray(o_w), num_nodes=num_nodes)
 
-    # diagonal blocks: nodes touching >=1 intra edge, per part
+    # diagonal blocks: nodes touching >=1 intra edge, per part. Fully
+    # vectorized (the r2 per-part np.unique/searchsorted/bincount loop cost
+    # ~40 s at ML-25M scale) and densified ON DEVICE (densify_blocks): only
+    # the ~77 MB local-index COO crosses the ~90 MB/s remote-PJRT tunnel, not
+    # the ~1.3 GB dense block tensor it expands into.
     i_src, i_dst, i_w = src[intra], dst[intra], w[intra]
-    ep = node_part[i_dst]
-    blocks = []
-    for p in range(num_parts):
-        m = ep == p
-        s_p, d_p, w_p = i_src[m], i_dst[m], i_w[m]
-        ids = np.unique(np.concatenate([s_p, d_p])) if len(s_p) else np.zeros(1, np.int64)
-        blocks.append((ids, s_p, d_p, w_p))
-    p_max = max(len(b[0]) for b in blocks)
+    k = num_parts
+    touched = np.zeros(num_nodes, bool)
+    touched[i_src] = True
+    touched[i_dst] = True
+    tnodes = np.flatnonzero(touched)
+    tparts = node_part[tnodes]
+    order = np.argsort(tparts, kind="stable")
+    tnodes, tparts = tnodes[order], tparts[order]
+    counts = np.bincount(tparts, minlength=k)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    ranks = np.arange(tnodes.size, dtype=np.int64) - offsets[tparts]
+    p_max = int(counts.max()) if tnodes.size else 1
     p_pad = ((p_max + align - 1) // align) * align
     if p_pad > max_block_nodes:
         raise ValueError(
             f"hybrid block width {p_pad} > {max_block_nodes}: use more parts")
-    k = num_parts
+    # pad slots repeat a real (or zero) id: their adj rows/cols stay zero, so
+    # the duplicate gather/scatter contributions are exact zeros
     ids_arr = np.zeros((k, p_pad), np.int32)
-    adj = np.empty((k, p_pad, p_pad), jnp.dtype(block_dtype))
-    for p, (ids, s_p, d_p, w_p) in enumerate(blocks):
-        # pad by repeating the last id: its adj row/col stays zero, and the
-        # duplicate scatter-adds contribute exact zeros
-        ids_arr[p] = np.pad(ids, (0, p_pad - len(ids)), mode="edge")
-        ls = np.searchsorted(ids, s_p)
-        ld = np.searchsorted(ids, d_p)
-        flat = ld * p_pad + ls
-        block = np.bincount(flat, weights=w_p, minlength=p_pad * p_pad)
-        adj[p] = block.reshape(p_pad, p_pad).astype(jnp.dtype(block_dtype))
+    ids_arr[tparts, ranks] = tnodes
+    for p in range(k):                       # tail-pad only (k tiny O(100))
+        c = counts[p]
+        if 0 < c < p_pad:
+            ids_arr[p, c:] = ids_arr[p, c - 1]
+    local = np.zeros(num_nodes, np.int64)
+    local[tnodes] = ranks
+    adj = densify_blocks(node_part[i_dst], local[i_dst], local[i_src], i_w,
+                         num_blocks=k, width=p_pad, dtype=block_dtype)
     return HybridGraph(off=off, ids=jnp.asarray(ids_arr),
-                       adj=jnp.asarray(adj), num_nodes=num_nodes,
+                       adj=adj, num_nodes=num_nodes,
                        off_ell=off_ell)
 
 

