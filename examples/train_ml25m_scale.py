@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--trainer", default="compact",
                     choices=["compact", "full", "fullgraph"])
     ap.add_argument("--fullgraph-steps", type=int, default=16)
+    ap.add_argument("--loss-microbatches", type=int, default=0,
+                    help=">1 = scan the fullgraph triplet loss in this many "
+                         "microbatches per step (exact; one propagation per "
+                         "step) — required to fit d>=512 x K=8 on one chip")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--layers", type=int, default=3)
@@ -94,6 +98,7 @@ def main():
                           partitioner=args.partitioner, fused_bpr=args.fused_bpr,
                           trainer=args.trainer,
                           fullgraph_steps=args.fullgraph_steps,
+                          loss_microbatches=args.loss_microbatches,
                           num_negatives=args.num_negatives,
                           negatives=args.negatives,
                           partition_balance_tol=args.balance_tol, seed=args.seed,

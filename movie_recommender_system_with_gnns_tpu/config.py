@@ -119,6 +119,14 @@ class TrainConfig:
     fullgraph_steps: int = 16
     hybrid_parts: int = 0
     symmetric_vjp: bool = True
+    # >1 splits each fullgraph step's triplet loss into this many scanned
+    # microbatches with ONE propagation forward/backward per step (exact same
+    # loss/grads up to fp reassociation — training/train.py::
+    # compute_loss_grads_microbatched). The (B, K, d) loss temps shrink by the
+    # factor, which is what lets d>=512 x K=8 full-batch steps fit one chip's
+    # HBM (d=512 unchunked needs ~21 GB of triplet temps vs 15.75 GB HBM).
+    # Must divide the lane-aligned batch (any power of two <= 1024 works).
+    loss_microbatches: int = 0
     # dense-block operand precision for the hybrid kernel: bf16 is the MXU's
     # native operand type (f32 accumulation); "float32" for exactness studies
     hybrid_block_dtype: str = "bfloat16"

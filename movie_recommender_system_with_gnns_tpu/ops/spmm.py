@@ -91,7 +91,7 @@ class DeviceELL:
 
 
 def densify_blocks(blk, dst, src, w, num_blocks: int, width: int,
-                   dtype=jnp.bfloat16) -> jax.Array:
+                   dtype=jnp.bfloat16, check: bool | None = None) -> jax.Array:
     """ON-DEVICE scatter-add densification: ``A[blk, dst, src] += w`` into
     dense ``(num_blocks, width, width)`` Â blocks.
 
@@ -106,11 +106,21 @@ def densify_blocks(blk, dst, src, w, num_blocks: int, width: int,
     bincount failure like the host build it replaced). Peak-HBM note: the
     scatter accumulates into a transient f32 (num_blocks, width²) buffer
     before the ``dtype`` cast — ~2× the final bf16 array (~2.6 GB at ML-25M
-    scale) during graph build. Set ``MRS_TPU_DEBUG_CHECKS=1`` to restore a
-    loud host-side range check on ``blk``/``dst``/``src`` before the scatter
-    (build-time only; off by default so the hot path stays check-free).
+    scale) during graph build.
+
+    ``check=None`` (default) runs a loud host-side range check on
+    ``blk``/``dst``/``src`` whenever the index inputs are already host NumPy
+    arrays — every build-time call site qualifies, and the vectorized min/max
+    is ~ms against a ~25 s graph build, so a malformed partition fails loudly
+    instead of being silently dropped by the jitted scatter. Set
+    ``MRS_TPU_DEBUG_CHECKS=0`` (or ``check=False``) to opt out, ``=1`` (or
+    ``check=True``) to force it even for device-resident inputs.
     """
-    if os.environ.get("MRS_TPU_DEBUG_CHECKS") == "1":
+    env = os.environ.get("MRS_TPU_DEBUG_CHECKS")
+    if check is None:
+        host_inputs = all(isinstance(a, np.ndarray) for a in (blk, dst, src))
+        check = env == "1" or (host_inputs and env != "0")
+    if check:
         b = np.asarray(blk).reshape(-1)
         d = np.asarray(dst).reshape(-1)
         s = np.asarray(src).reshape(-1)

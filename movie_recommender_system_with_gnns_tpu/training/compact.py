@@ -209,9 +209,12 @@ def densify_adjacency(cc: CompactClusters, dtype=jnp.bfloat16,
     # carry w=0 so they are harmless.
     from ..ops.spmm import densify_blocks
 
-    src, dst, w = jnp.asarray(cc.src), jnp.asarray(cc.dst), jnp.asarray(cc.w)
-    blk = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None], src.shape)
-    adj = densify_blocks(blk, dst, src, w, num_blocks=k, width=n_local,
+    # host NumPy views (zero-copy) so densify_blocks' default range check
+    # engages before the jitted scatter silently drops bad indices
+    blk = np.broadcast_to(np.arange(k, dtype=np.int32)[:, None],
+                          np.shape(cc.src))
+    adj = densify_blocks(blk, np.asarray(cc.dst), np.asarray(cc.src),
+                         np.asarray(cc.w), num_blocks=k, width=n_local,
                          dtype=dtype)
     return CompactClusters(
         cc.user_ids, cc.item_ids, cc.src, cc.dst, cc.w, cc.user_local,

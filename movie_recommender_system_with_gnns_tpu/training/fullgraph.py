@@ -38,7 +38,8 @@ from ..ops.sampling import (TripletBatch, sample_negative,
                             sample_negative_feasible)
 from ..ops.spmm import (HybridGraph, build_hybrid_graph, spmm_hybrid,
                         spmm_hybrid_sym)
-from .train import TrainState, compute_loss, make_optimizer
+from .train import (TrainState, compute_loss, compute_loss_grads_microbatched,
+                    make_optimizer)
 
 
 class FullGraphTrainData:
@@ -204,8 +205,13 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
                 neg = sample_negative(k, batch, st.params.item_emb.shape[0],
                                       cfg.train.num_negatives)
             tb = TripletBatch(user=uu, pos_item=pp, mask=mm)
-            loss, grads = jax.value_and_grad(compute_loss)(
-                st.params, hybrid, tb, neg, cfg, spmm)
+            if cfg.train.loss_microbatches > 1:
+                loss, grads = compute_loss_grads_microbatched(
+                    st.params, hybrid, tb, neg, cfg, spmm,
+                    cfg.train.loss_microbatches)
+            else:
+                loss, grads = jax.value_and_grad(compute_loss)(
+                    st.params, hybrid, tb, neg, cfg, spmm)
             updates, opt_state = opt.update(grads, st.opt_state, st.params)
             params = optax.apply_updates(st.params, updates)
             new = TrainState(params, opt_state, st.step + 1)

@@ -124,6 +124,77 @@ def compute_loss(
     return loss_fn(*embs, cfg.train.bpr_coeff, mask=batch.mask)
 
 
+def compute_loss_grads_microbatched(
+    params: LightGCNParams,
+    graph,
+    batch: TripletBatch,
+    neg_item: jax.Array,
+    cfg: Config,
+    spmm: Callable,
+    num_micro: int,
+):
+    """(loss, grads) of :func:`compute_loss`, with the triplet loss evaluated
+    in ``num_micro`` scanned microbatches over ONE propagation.
+
+    Exact (up to fp reassociation): the reference loss is a masked mean, and a
+    mask-count-weighted average of per-chunk masked means equals the global
+    masked mean — Σ_c w_c·(S_c/w_c) / Σ_c w_c = ΣS/Σw — for both the pairwise
+    and the reg term (each chunk's denominator scales linearly in w_c). The
+    propagation (the reference hot kernel, light_gcn.py:33) runs once; its
+    backward runs once on the accumulated table cotangents via ``jax.vjp``.
+    Peak memory: one chunk's (B/num_micro, K, d) triplet temps + four (N, d)
+    cotangent accumulators, vs the full-batch (B, K, d) temps that OOM one
+    chip at d=512, K=8, B=349K.
+    """
+    b = batch.user.shape[0]
+    if b % num_micro:
+        raise ValueError(f"loss_microbatches={num_micro} must divide the "
+                         f"padded batch {b}")
+    loss_fn = select_bpr_loss(cfg.train.loss)
+    coeff = cfg.train.bpr_coeff
+
+    def fwd(p):
+        return propagate(p, graph, spmm, cfg.model.num_layers,
+                         cfg.model.readout)
+
+    (users_final, items_final), vjp_fn = jax.vjp(fwd, params)
+    total_w = jnp.maximum(batch.mask.sum().astype(jnp.float32), 1.0)
+
+    bc = b // num_micro
+    uu = batch.user.reshape(num_micro, bc)
+    pp = batch.pos_item.reshape(num_micro, bc)
+    mm = batch.mask.reshape(num_micro, bc)
+    nn = neg_item.reshape((num_micro, bc) + neg_item.shape[1:])
+
+    def chunk_loss(uf, itf, ue, ie, u_c, p_c, n_c, m_c):
+        # direct per-table gathers (no (N, 2d) concat temp per chunk); the
+        # backward scatter-adds land straight in the (N, d) accumulators
+        l = loss_fn(uf[u_c], ue[u_c], itf[p_c], ie[p_c], itf[n_c], ie[n_c],
+                    coeff, mask=m_c)
+        w = m_c.sum().astype(jnp.float32)
+        return l * w / total_w, (l, w)
+
+    grad_chunk = jax.value_and_grad(chunk_loss, argnums=(0, 1, 2, 3),
+                                    has_aux=True)
+
+    def body(carry, x):
+        guf, gitf, gue, gie, lsum = carry
+        (_, (l, w)), gs = grad_chunk(users_final, items_final,
+                                     params.user_emb, params.item_emb, *x)
+        return (guf + gs[0], gitf + gs[1], gue + gs[2], gie + gs[3],
+                lsum + l * w), None
+
+    init = (jnp.zeros_like(users_final), jnp.zeros_like(items_final),
+            jnp.zeros_like(params.user_emb), jnp.zeros_like(params.item_emb),
+            jnp.zeros((), jnp.float32))
+    (guf, gitf, gue, gie, lsum), _ = jax.lax.scan(body, init, (uu, pp, nn, mm))
+    loss = lsum / total_w
+    (gprop,) = vjp_fn((guf, gitf))
+    grads = LightGCNParams(user_emb=gprop.user_emb + gue,
+                           item_emb=gprop.item_emb + gie)
+    return loss, grads
+
+
 def make_train_step(cfg: Config, spmm: Callable = spmm_segment):
     """Build the jitted train step. ``graph``/``batch`` arrive as device arrays
     with static shapes; ``num_items`` is closed over via params shape."""

@@ -108,6 +108,49 @@ def test_fullgraph_loss_and_grads_match_segment_oracle():
         assert rel < 1e-4, rel
 
 
+def test_microbatched_loss_grads_match_full_batch():
+    """compute_loss_grads_microbatched ≡ value_and_grad(compute_loss): the
+    mask-count-weighted average of per-chunk masked means equals the global
+    masked mean, and the accumulated table cotangents drive one propagation
+    backward — both losses, K>1 negatives, padded (masked) rows."""
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.ops.sampling import (
+        sample_negative, triplets_from_edges,
+    )
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+        build_hybrid_graph, spmm_hybrid_sym,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        compute_loss, compute_loss_grads_microbatched,
+    )
+
+    data, n, node_part = _tiny_setup(seed=5)
+    h = build_hybrid_graph(data.edge_index, n, node_part, 4, align=8,
+                           block_dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), data.num_users,
+                         data.num_items, 16)
+    e_fwd = int((data.edge_index[0] < data.num_users).sum())
+    pad_to = -(-e_fwd // 8) * 8          # padded rows => masked chunks differ
+    tb = triplets_from_edges(data.edge_index, data.num_users, pad_to=pad_to)
+    assert not bool(tb.mask.all()), "fixture must exercise masked padding"
+    for loss_name, k_neg in (("reference", 1), ("reference", 4),
+                             ("standard", 4)):
+        cfg = Config(model=ModelConfig(num_layers=2, dim=16),
+                     train=TrainConfig(loss=loss_name, num_negatives=k_neg))
+        neg = sample_negative(jax.random.PRNGKey(4), pad_to, data.num_items,
+                              k_neg)
+        l_f, g_f = jax.value_and_grad(compute_loss)(
+            params, h, tb, neg, cfg, spmm_hybrid_sym)
+        l_m, g_m = compute_loss_grads_microbatched(
+            params, h, tb, neg, cfg, spmm_hybrid_sym, num_micro=8)
+        assert abs(float(l_f) - float(l_m)) < 1e-6, (loss_name, k_neg)
+        for a, b in zip(jax.tree_util.tree_leaves(g_m),
+                        jax.tree_util.tree_leaves(g_f)):
+            rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+                np.abs(np.asarray(b)).max() + 1e-12)
+            assert rel < 1e-5, (loss_name, k_neg, rel)
+
+
 def test_fullgraph_trainer_end_to_end(tmp_path):
     from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
         FullGraphTrainData,
