@@ -75,6 +75,11 @@ def mips_topk(
     decimal digits) may order differently than the f32 oracle — the serving
     trade VERDICT r2 item 4 asks for. Returned scores are cast back to f32.
     """
+    if score_dtype is not None and method == "pallas":
+        # the Pallas kernel scores in its own fixed dtype; silently handing it
+        # f32 operands after a bf16 request would misreport the numerics
+        raise ValueError("score_dtype is not supported with method='pallas' "
+                         "(the kernel fixes its own compute dtype)")
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
     if score_dtype is not None:
@@ -82,7 +87,9 @@ def mips_topk(
         c = c.astype(score_dtype)
     nq_, n_ = q.shape[0], c.shape[0]
     if method == "auto":
-        method = "twophase" if nq_ * n_ * 4 <= max_flat_bytes else "blocked"
+        itemsize = jnp.dtype(score_dtype or jnp.float32).itemsize
+        method = ("twophase" if nq_ * n_ * itemsize <= max_flat_bytes
+                  else "blocked")
     if method == "pallas":
         from .pallas_mips import mips_topk_pallas
 
@@ -91,24 +98,11 @@ def mips_topk(
         return mips_topk_pallas(query, catalog, k=k, block=block or 4096,
                                 normalize=normalize, exclude_mask=exclude_mask)
     if method == "twophase":
-        ch = 128
         s = q @ c.T                                        # (Q, N) — MXU
         if exclude_mask is not None:
             s = jnp.where(exclude_mask, NEG_INF, s)
-        n = s.shape[1]
-        pad = (-n) % ch
-        if pad:
-            s = jnp.concatenate(
-                [s, jnp.full((nq_, pad), NEG_INF, s.dtype)], axis=1)
-        nc = (n + pad) // ch
-        s3 = s.reshape(nq_, nc, ch)
-        cm = jnp.max(s3, axis=-1)                          # (Q, nc)
-        kc = min(k, nc)    # small catalogs: fewer chunks than k is still exact
-        _, ci = jax.lax.top_k(cm, kc)                      # winning chunks
-        sel = jnp.take_along_axis(s3, ci[:, :, None], axis=1)  # (Q, kc, ch)
-        vs, vi = jax.lax.top_k(sel.reshape(nq_, kc * ch), k)
-        chunk = jnp.take_along_axis(ci, vi // ch, axis=1)
-        return vs.astype(jnp.float32), chunk * ch + vi % ch
+        vs, vi = twophase_select(s, k)
+        return vs.astype(jnp.float32), vi
     if block is None:
         block = 8192
     if method == "flat":
@@ -159,6 +153,36 @@ def mips_topk(
         (c_blocks, jnp.arange(num_blocks)),
     )
     return scores.astype(jnp.float32), idx
+
+
+def twophase_select(s: jax.Array, k: int, ch: int = 128
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a resident (Q, N) score matrix via chunk maxima.
+
+    Phase 1: 128-lane chunk maxima + ``top_k`` over the (Q, N/128) maxima;
+    phase 2: exact re-selection inside the k winning chunks. Exact by chunk
+    containment: at most k−1 elements outrank the k-th, so its chunk's max is
+    a top-k chunk max (adversarially tested in tests/test_topk_serving.py).
+    Two bandwidth passes over ``s`` and ~k·Q tiny gathers — this replaces the
+    VPU-bound full ``top_k``/sort extraction for both serving
+    (:func:`mips_topk` method='twophase') and full-ranking evaluation
+    (training/evaluate.py). Returned scores keep ``s.dtype``; indices are
+    int32 column ids of ``s``.
+    """
+    nq_, n = s.shape
+    pad = (-n) % ch
+    if pad:
+        s = jnp.concatenate(
+            [s, jnp.full((nq_, pad), NEG_INF, s.dtype)], axis=1)
+    nc = (n + pad) // ch
+    s3 = s.reshape(nq_, nc, ch)
+    cm = jnp.max(s3, axis=-1)                          # (Q, nc)
+    kc = min(k, nc)    # small catalogs: fewer chunks than k is still exact
+    _, ci = jax.lax.top_k(cm, kc)                      # winning chunks
+    sel = jnp.take_along_axis(s3, ci[:, :, None], axis=1)  # (Q, kc, ch)
+    vs, vi = jax.lax.top_k(sel.reshape(nq_, kc * ch), k)
+    chunk = jnp.take_along_axis(ci, vi // ch, axis=1)
+    return vs, chunk * ch + vi % ch
 
 
 def merge_topk(

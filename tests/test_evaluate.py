@@ -58,6 +58,36 @@ def test_full_ranking_excludes_seen():
     assert recall == 1.0  # reachable only because seen item was masked
 
 
+def test_full_ranking_timings_and_bf16_path():
+    """last_timings is populated by every call (the bridge driver logs it),
+    and score_dtype='bfloat16' stays within rounding of the f32 metrics."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    num_users, num_items, k = 40, 70, 5
+    params = LightGCNParams(
+        jnp.asarray(rng.standard_normal((num_users, 8)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((num_items, 8)).astype(np.float32)))
+    u = rng.integers(0, num_users, 200)
+    v = rng.integers(0, num_items, 200) + num_users
+    ev = np.stack([np.concatenate([u, v]), np.concatenate([v, u])])
+    tr = np.zeros((2, 0), np.int64)
+
+    r32, n32 = evaluate_full_ranking(params, tr, ev, num_users, k=k,
+                                     batch_users=16, groups=2)
+    t = evaluate_full_ranking.last_timings
+    assert t["eval_users"] > 0 and t["sharded"] is False
+    assert t["score_dtype"] == "float32" and t["dispatch_users"] == 32
+    assert t["total_s"] >= t["score_topk_s"] >= 0
+
+    rbf, nbf = evaluate_full_ranking(params, tr, ev, num_users, k=k,
+                                     batch_users=16, groups=2,
+                                     score_dtype="bfloat16")
+    assert evaluate_full_ranking.last_timings["score_dtype"] == "bfloat16"
+    # bf16 reorders only near-ties; on random embeddings the metrics stay close
+    assert abs(rbf - r32) < 0.05 and abs(nbf - n32) < 0.05
+
+
 def test_metrics_logger(tmp_path):
     p = str(tmp_path / "m.jsonl")
     lg = MetricsLogger(p)
