@@ -434,18 +434,18 @@ def bench_torch_cpu_epoch(data, parts, scale, max_clusters=None):
     return dt * (len(parts) / len(sel))
 
 
-def bench_serving(data, scale, batch=1024, groups=8, iters=8):
+def bench_serving(data, scale, nq=32768, iters=8, q_tile=512, n_tile=2048):
     """Batched MIPS retrieval throughput over the full catalog (queries/s).
 
-    Two optimizations over the r2 pallas-kernel headline (376K qps):
-      * method='twophase' (ops/topk.py): exact top-k via chunk maxima — the
-        per-block iterative max-and-mask extraction was VPU-bound at ~23x the
-        scoring matmul's MXU time;
-      * one dispatch serves ``groups`` query batches via lax.map, amortizing
-        the ~0.9 ms remote-PJRT dispatch that cost 30% end-to-end in r2.
+    r4 path: ONE flat dispatch of ``nq`` queries through the fused Pallas
+    twophase (ops/pallas_mips.py::mips_topk_fused) — the score tile's chunk
+    maxima are computed while it is VMEM-resident, so the (Q, N) bf16 score
+    matrix is written once and only the k winning 128-chunks per query are
+    ever re-read (the r3 XLA twophase re-read the whole matrix, capping
+    mips_hbm_util at 0.13; the r3 lax.map-of-groups dispatch also left ~25%
+    on the table vs one flat matmul).
     """
     import jax
-    import jax.numpy as jnp
 
     from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
     from movie_recommender_system_with_gnns_tpu.ops.topk import mips_topk
@@ -454,41 +454,39 @@ def bench_serving(data, scale, batch=1024, groups=8, iters=8):
                         scale["dim"])
 
     @jax.jit
-    def serve_many(qg):   # (groups, batch, d)
+    def serve(q, cat):
         # bf16 scores: half the score-matrix HBM traffic, 2x MXU rate; exact
         # top-k of the bf16 scores (tests/test_topk_serving.py bf16 oracle)
-        return jax.lax.map(
-            lambda q: mips_topk(q, params.item_emb, k=10, method="twophase",
-                                score_dtype="bfloat16"),
-            qg)
+        return mips_topk(q, cat, k=10, method="fused")
 
-    b = min(batch, params.user_emb.shape[0] // groups)
-    qg = params.user_emb[: groups * b].reshape(groups, b, -1)
-    s, i = serve_many(qg)
-    float(s[0, 0, 0])
+    nq = min(nq, params.user_emb.shape[0])
+    q = params.user_emb[:nq]
+    s, i = serve(q, params.item_emb)
+    float(s[0, 0])
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         for _ in range(iters):
-            s, i = serve_many(qg)
-        float(s[0, 0, 0])
+            s, i = serve(q, params.item_emb)
+        float(s[0, 0])
         best = min(best, (time.time() - t0) / iters)
-    d = qg.shape[-1]
+    d = params.user_emb.shape[1]
     items = params.item_emb.shape[0]
-    nq = groups * b
-    # analytic cost: score matmul FLOPs; HBM traffic = one f32 catalog read +
-    # one bf16 catalog write (the cast happens once per dispatch, then every
-    # group matmul reads the 2-byte copy — ADVICE r3: charging f32 x groups
-    # overstated traffic ~2x), `groups` bf16 catalog reads, f32 query reads,
-    # and TWO passes over the bf16 (Q, N) score matrix (write + chunk-max
-    # reads)
-    flops = 2.0 * nq * items * d
-    bytes_acc = (6.0 * items * d + 2.0 * groups * items * d + 4.0 * nq * d
-                 + 2 * 2.0 * nq * items)
-    util = {f"mips_{k}": v for k, v in utilization(flops, bytes_acc, best).items()}
-    sys.stderr.write(f"[bench] mips twophase-bf16 x{groups} batches of {b}: "
+    k = 10
+    np_ = -(-items // n_tile) * n_tile
+    nqp = -(-nq // q_tile) * q_tile
+    ncp = np_ // 128
+    # analytic cost of the fused path: catalog re-read per query tile (bf16),
+    # one bf16 score write, chunk-maxima write+read, winning-chunk re-reads
+    flops = 2.0 * nqp * np_ * d
+    bytes_acc = (2.0 * (nqp // q_tile) * np_ * d   # catalog reads per q-tile
+                 + 2.0 * nqp * np_                 # score write (once)
+                 + 2 * 2.0 * nqp * ncp             # chunk maxima w+r
+                 + 2.0 * nqp * k * 128 * 2)        # sel gather + final
+    util = {f"mips_{k_}": v for k_, v in utilization(flops, bytes_acc, best).items()}
+    sys.stderr.write(f"[bench] mips fused-bf16 flat batch {nq}: "
                      f"{best*1e3:.2f} ms/dispatch -> {util}\n")
-    return nq / best, util, "twophase-bf16"
+    return nq / best, util, "pallas-fused-twophase-bf16"
 
 
 def get_baseline(data, parts, scale, scale_name):

@@ -132,3 +132,112 @@ def mips_topk_pallas(
         ),
     )(*args)
     return merge_topk(os_, oi_, k)
+
+
+CHUNK = 128   # twophase chunk width == one VREG lane group
+
+
+def _score_chunkmax_kernel(n_ref, q_ref, c_ref, s_ref, cm_ref):
+    """Fused pass 1 of the exact twophase MIPS: one (QT, NT) score tile on the
+    MXU, pad-column masking, bf16 store, and the tile's 128-lane chunk maxima
+    — all while the tile is VMEM-resident. Replaces the XLA twophase's
+    separate write + read of the (Q, N) score matrix (the ~50%-of-traffic
+    re-read that capped mips_hbm_util at 0.13 in BENCH_r03).
+
+    n_ref: (1,) int32 scalar-prefetch — true catalog size (masks padding)
+    q_ref: (QT, d) query tile;  c_ref: (NT, d) catalog tile
+    s_ref: (QT, NT) bf16 score tile out; cm_ref: (QT, NT/128) chunk maxima out
+    """
+    j = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (QT, NT)
+    qt, nt = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, nt), 1) + j * nt
+    s = jnp.where(col < n_ref[0], s, NEG_INF)
+    sb = s.astype(s_ref.dtype)
+    s_ref[:] = sb
+    # chunk maxima stored CHUNK-MAJOR — (NT/128, QT) — so the output block's
+    # lane dim is QT (128-multiple); a (QT, NT/128) layout would need a
+    # 16-lane block, which Mosaic rejects. Cross-lane max per 128-lane slice.
+    for t in range(nt // CHUNK):
+        cm_ref[t, :] = jnp.max(sb[:, t * CHUNK:(t + 1) * CHUNK], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "q_tile", "n_tile",
+                                             "normalize", "score_dtype"))
+def mips_topk_fused(
+    query: jax.Array,      # (Q, d)
+    catalog: jax.Array,    # (N, d)
+    k: int = 10,
+    q_tile: int = 512,
+    n_tile: int = 2048,
+    normalize: bool = True,
+    score_dtype=jnp.bfloat16,
+):
+    """Exact twophase MIPS with a fused Pallas pass 1.
+
+    Pass 1 (kernel above) writes the bf16 score matrix ONCE together with its
+    chunk maxima; pass 2 ranks chunk maxima (``top_k``), gathers only the k
+    winning 128-wide chunks per query, and finishes with a tiny top-k — exact
+    by chunk containment (ops/topk.py::twophase_select docstring). HBM
+    traffic ≈ one score write + k·128 re-reads/query, vs write + full re-read
+    for the XLA twophase. No exclusion-mask support (batch serving path);
+    masked retrieval uses ops/topk.py.
+    """
+    q = normalize_embedding(query) if normalize else query
+    c = normalize_embedding(catalog) if normalize else catalog
+    q = q.astype(score_dtype)
+    c = c.astype(score_dtype)
+    n, d = c.shape
+    nq = q.shape[0]
+    qpad = (-nq) % q_tile
+    if qpad:
+        q = jnp.concatenate([q, jnp.zeros((qpad, d), q.dtype)], axis=0)
+    npad = (-n) % n_tile
+    if npad:
+        c = jnp.concatenate([c, jnp.zeros((npad, d), c.dtype)], axis=0)
+    nqp, np_ = nq + qpad, n + npad
+    ncp = np_ // CHUNK
+
+    s, cm = pl.pallas_call(
+        _score_chunkmax_kernel,
+        interpret=(jax.default_backend() == "cpu"),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nqp // q_tile, np_ // n_tile),
+            in_specs=[
+                pl.BlockSpec((q_tile, d), lambda i, j, n_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tile, d), lambda i, j, n_ref: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((q_tile, n_tile), lambda i, j, n_ref: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tile // CHUNK, q_tile),
+                             lambda i, j, n_ref: (j, i),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nqp, np_), score_dtype),
+            jax.ShapeDtypeStruct((ncp, nqp), score_dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nqp * np_ * d,
+            bytes_accessed=(np_ * d + nqp * d) * 2
+            + nqp * (np_ + ncp) * 2,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(n, jnp.int32).reshape(1), q, c)
+
+    kc = min(k, ncp)
+    _, ci = jax.lax.top_k(cm.T, kc)                       # winning chunks
+    s3 = s.reshape(nqp, ncp, CHUNK)
+    sel = jnp.take_along_axis(s3, ci[:, :, None], axis=1)  # (Q, kc, 128)
+    vs, vi = jax.lax.top_k(sel.reshape(nqp, kc * CHUNK), k)
+    chunk = jnp.take_along_axis(ci, vi // CHUNK, axis=1)
+    idx = chunk * CHUNK + vi % CHUNK
+    return vs[:nq].astype(jnp.float32), idx[:nq]

@@ -50,6 +50,12 @@ def mips_topk(
     """Cosine/MIPS top-k: returns (scores (Q, k), indices (Q, k)).
 
     Strategies (measured on v5e, Q=256, N=59K, d=64):
+      * ``fused``   — Pallas pass 1 (ops/pallas_mips.py::mips_topk_fused):
+                      score tile + chunk maxima computed while VMEM-resident,
+                      so the score matrix is written once and never re-read in
+                      full. The unmasked batch-serving lane: ~1.0M qps at
+                      Q=32K vs 640K for the XLA twophase (r4 measurement);
+                      bf16 scores by default;
       * ``twophase``— full (Q, N) scores once in HBM, 128-lane chunk maxima,
                       ``top_k`` over chunks, then exact re-selection inside the
                       winning chunks. EXACT by chunk containment (at most k−1
@@ -80,6 +86,14 @@ def mips_topk(
         # f32 operands after a bf16 request would misreport the numerics
         raise ValueError("score_dtype is not supported with method='pallas' "
                          "(the kernel fixes its own compute dtype)")
+    if method == "fused":
+        if exclude_mask is not None:
+            raise ValueError("method='fused' is the unmasked batch-serving "
+                             "lane; masked retrieval uses 'twophase'")
+        from .pallas_mips import mips_topk_fused
+
+        return mips_topk_fused(query, catalog, k=k, normalize=normalize,
+                               score_dtype=score_dtype or jnp.bfloat16)
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
     if score_dtype is not None:

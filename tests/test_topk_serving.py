@@ -94,6 +94,33 @@ def test_mips_topk_bf16_scores_match_bf16_oracle(rng):
     assert s.dtype == jnp.float32
 
 
+def test_mips_topk_fused_matches_twophase(rng):
+    """method='fused' (Pallas pass 1, interpret mode on CPU) selects exactly
+    the XLA twophase-bf16 top-k, including non-divisible catalog sizes and
+    the adversarial one-chunk-holds-all-winners case."""
+    for n in (1000, 777):
+        q = rng.standard_normal((33, 32)).astype(np.float32)
+        c = rng.standard_normal((n, 32)).astype(np.float32)
+        s_f, i_f = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10,
+                             method="fused")
+        s_x, i_x = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10,
+                             method="twophase", score_dtype="bfloat16")
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_x))
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x),
+                                   rtol=1e-6, atol=1e-6)
+    # adversarial: all winners in one chunk
+    c = rng.standard_normal((1024, 8)).astype(np.float32) * 0.01
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    c[256:266] = q[0] * 10 + rng.standard_normal((10, 8)).astype(np.float32) * 0.1
+    s_f, i_f = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, method="fused")
+    ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
+    assert set(np.asarray(i_f)[0]) == set(np.argsort(-ref, axis=1)[0, :10])
+    # masked retrieval must refuse the unmasked fused lane loudly
+    with pytest.raises(ValueError):
+        mips_topk(jnp.asarray(q), jnp.asarray(c), k=5, method="fused",
+                  exclude_mask=jnp.zeros((2, 1024), bool))
+
+
 def test_mips_topk_nondivisible_block(rng):
     q = rng.standard_normal((2, 8)).astype(np.float32)
     c = rng.standard_normal((130, 8)).astype(np.float32)   # 130 % 64 != 0

@@ -153,6 +153,23 @@ def test_pallas_mips_on_chip_exact():
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
 
 
+def test_fused_twophase_on_chip_exact():
+    """Mosaic-compiled fused score+chunkmax pass: index-exact vs the XLA
+    twophase on the same bf16 scores (r4 serving lane)."""
+    _require_tpu()
+    from movie_recommender_system_with_gnns_tpu.ops.topk import mips_topk
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1024, 64)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((59047, 64)).astype(np.float32))
+    s_f, i_f = mips_topk(q, c, k=10, method="fused")
+    s_x, i_x = mips_topk(q, c, k=10, method="twophase",
+                         score_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pallas_spmm_on_chip_matches_segment():
     """Mosaic-compiled one-hot ELL SpMM ≡ segment-sum oracle."""
     _require_tpu()
