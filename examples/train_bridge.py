@@ -76,6 +76,13 @@ def main():
                     "refresh can correct (measured collapse 0.23->0.11 over "
                     "epochs 19-59, runs/bridge_d128_r5_naive_collapse.log); "
                     "shrinking only the biased steps bounds that drift")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine decays over the WHOLE recipe (compact + "
+                    "fullgraph steps share one Adam/schedule state), which "
+                    "bounds the biased-compact-gradient drift the same way "
+                    "it closed the fullgraph runs' best-vs-final gap")
+    ap.add_argument("--lr-warmup-epochs", type=float, default=0.0)
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--eval-users", type=int, default=5000)
     ap.add_argument("--final-eval-users", type=int, default=0,
@@ -122,6 +129,27 @@ def main():
                               data.num_users + data.num_items)
     print(f"fullgraph data built in {time.time()-t0:.0f}s "
           f"({fg.num_steps} steps x {fg.batch})")
+
+    if args.lr_schedule == "cosine":
+        from dataclasses import replace
+
+        nf = (sum(1 for e in range(args.epochs)
+                  if (e + 1) % args.refresh_every == 0)
+              if args.refresh_every > 0 else 0)
+        nc = args.epochs - nf
+        total_steps = nc * cfg_c.train.num_clusters + nf * fg.num_steps
+        warm = int(args.lr_warmup_epochs * cfg_c.train.num_clusters)
+        # ONE decay horizon across both trainers: the shared Adam state's
+        # step count advances by 100 per compact epoch and fg.num_steps per
+        # refresh, so each epoch fn reads the same schedule position
+        cfg_c = cfg_c.replace(train=replace(
+            cfg_c.train, lr_schedule="cosine", lr_total_steps=total_steps,
+            lr_warmup_steps=warm))
+        cfg_f = cfg_f.replace(train=replace(
+            cfg_f.train, lr_schedule="cosine", lr_total_steps=total_steps,
+            lr_warmup_steps=warm))
+        print(f"cosine lr: {total_steps} total steps ({nc} compact + {nf} "
+              f"fullgraph epochs), {warm} warmup")
 
     compact_epoch = make_compact_epoch_fn(cfg_c)
     fullgraph_epoch = make_fullgraph_epoch_fn(cfg_f, fg)
