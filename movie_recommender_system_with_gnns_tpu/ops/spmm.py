@@ -243,14 +243,22 @@ class HybridGraph:
     adj: jax.Array          # (K, P, P) — dense Â block, A[k, dst, src]
     num_nodes: int          # static
     off_ell: "ChunkedEll | None" = None
+    # node → flat (K·P) block slot (greedy partition: each node sits in at
+    # most ONE block) + coverage mask: lets the block-output combine be a
+    # permutation GATHER instead of a scatter-add (XLA:TPU lowers a scatter
+    # into a big table as a full-table rewrite — training/compact.py note)
+    pos: "jax.Array | None" = None    # (N,) int32
+    cov: "jax.Array | None" = None    # (N,) bool
 
     def tree_flatten(self):
-        return (self.off, self.ids, self.adj, self.off_ell), self.num_nodes
+        return ((self.off, self.ids, self.adj, self.off_ell, self.pos,
+                 self.cov), self.num_nodes)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        off, ids, adj, off_ell = children
-        return cls(off, ids, adj, num_nodes=aux, off_ell=off_ell)
+        off, ids, adj, off_ell, pos, cov = children
+        return cls(off, ids, adj, num_nodes=aux, off_ell=off_ell,
+                   pos=pos, cov=cov)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -435,9 +443,15 @@ def build_hybrid_graph(
     local[tnodes] = ranks
     adj = densify_blocks(node_part[i_dst], local[i_dst], local[i_src], i_w,
                          num_blocks=k, width=p_pad, dtype=block_dtype)
+    # node → flat (K·P) slot for the gather-combine (each node in ≤1 block)
+    pos = np.zeros(num_nodes, np.int64)
+    pos[tnodes] = tparts * p_pad + ranks
+    cov = touched
     return HybridGraph(off=off, ids=jnp.asarray(ids_arr),
                        adj=adj, num_nodes=num_nodes,
-                       off_ell=off_ell)
+                       off_ell=off_ell,
+                       pos=jnp.asarray(pos, jnp.int32),
+                       cov=jnp.asarray(cov))
 
 
 def spmm_hybrid(h: HybridGraph, emb: jax.Array) -> jax.Array:
@@ -455,6 +469,13 @@ def spmm_hybrid(h: HybridGraph, emb: jax.Array) -> jax.Array:
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(emb.dtype)                                   # (K, P, d)
+    if h.pos is not None:
+        # each node owns exactly one block slot (pad slots carry zero adj
+        # rows), so the combine is a row GATHER — no scatter, no full-table
+        # rewrite
+        contrib = jnp.where(h.cov[:, None], blk_out.reshape(-1, d)[h.pos],
+                            jnp.zeros((), emb.dtype))
+        return out + contrib
     return out.at[h.ids.reshape(-1)].add(blk_out.reshape(-1, d))
 
 

@@ -181,6 +181,12 @@ class ShardedHybrid(NamedTuple):
     ell_nbr: Optional[jax.Array] = None   # (Pm, C, W) int32 into full (n_pad=pad)
     ell_w: Optional[jax.Array] = None     # (Pm, C, W) f32
     ell_dst: Optional[jax.Array] = None   # (Pm, C) int32 local rows, sorted
+    # node → flat (K_loc·P) block slot per shard + coverage mask: the block
+    # combine becomes a permutation GATHER instead of a scatter-add into the
+    # (n_pad, d) contrib buffer (XLA:TPU lowers big-table scatter as a
+    # full-table rewrite — training/compact.py note)
+    blk_pos: Optional[jax.Array] = None   # (Pm, n_pad) int32
+    blk_cov: Optional[jax.Array] = None   # (Pm, n_pad) bool
 
 
 def shard_hybrid_graph(
@@ -281,6 +287,15 @@ def shard_hybrid_graph(
                              ls.astype(np.int32), i_w.astype(np.float32),
                              num_blocks=k_tot, width=p_pad, dtype=block_dtype)
     k_loc = k_tot // plan.pm
+    blk_pos = np.zeros((plan.pm, npad), np.int32)
+    blk_cov = np.zeros((plan.pm, npad), bool)
+    for p in range(num_parts):
+        nodes = (keys[bounds[p]:bounds[p + 1]] % npad).astype(np.int64)
+        if nodes.size:
+            m, kl = divmod(p, k_loc)
+            blk_pos[m, nodes] = kl * p_pad + np.arange(nodes.size,
+                                                       dtype=np.int64)
+            blk_cov[m, nodes] = True
     return ShardedHybrid(
         src=off.src, dst_local=off.dst_local, w=off.w,
         blk_ids=jnp.asarray(ids_arr.reshape(plan.pm, k_loc, p_pad)),
@@ -288,6 +303,8 @@ def shard_hybrid_graph(
         ell_nbr=None if ell is None else ell[0],
         ell_w=None if ell is None else ell[1],
         ell_dst=None if ell is None else ell[2],
+        blk_pos=jnp.asarray(blk_pos),
+        blk_cov=jnp.asarray(blk_cov),
     )
 
 
@@ -295,17 +312,21 @@ def _hybrid_shard(graph: ShardedHybrid):
     """Per-device slice of a ShardedHybrid (inside shard_map the leading model
     axis is 1)."""
     e = graph.ell_nbr
+    pos = graph.blk_pos
     return (graph.src[0], graph.dst_local[0], graph.w[0],
             graph.blk_ids[0], graph.blk_adj[0],
             None if e is None else graph.ell_nbr[0],
             None if e is None else graph.ell_w[0],
-            None if e is None else graph.ell_dst[0])
+            None if e is None else graph.ell_dst[0],
+            None if pos is None else graph.blk_pos[0],
+            None if pos is None else graph.blk_cov[0])
 
 
-def _hybrid_specs(off_ell: bool = True):
+def _hybrid_specs(off_ell: bool = True, has_pos: bool = True):
     p = P(MODEL_AXIS)
     tail = [p, p, p] if off_ell else [None, None, None]
-    return ShardedHybrid(p, p, p, p, p, *tail)
+    pose = [p, p] if has_pos else [None, None]
+    return ShardedHybrid(p, p, p, p, p, *tail, *pose)
 
 
 def pad_batch(batch: TripletBatch, pd: int) -> TripletBatch:
@@ -398,7 +419,7 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
         backward."""
         from ..ops.spmm import ChunkedEll, spmm_chunked_ell
 
-        src, dst_local, w, ids, adj, enbr, ew, edst = garr
+        src, dst_local, w, ids, adj, enbr, ew, edst, pos, cov = garr
         u_cur, i_cur = uv
         uf = jax.lax.all_gather(u_cur, MODEL_AXIS, axis=0, tiled=True)
         itf = jax.lax.all_gather(i_cur, MODEL_AXIS, axis=0, tiled=True)
@@ -421,8 +442,14 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(full.dtype)                                  # (K_loc, P, d)
-        contrib = jnp.zeros((plan.n_pad, d), full.dtype).at[
-            ids.reshape(-1)].add(blk_out.reshape(-1, d))
+        if pos is not None:
+            # permutation-gather combine (each node sits in ≤1 block of this
+            # shard; pad slots carry zero adj rows) — no big-table scatter
+            contrib = jnp.where(cov[:, None], blk_out.reshape(-1, d)[pos],
+                                jnp.zeros((), full.dtype))
+        else:
+            contrib = jnp.zeros((plan.n_pad, d), full.dtype).at[
+                ids.reshape(-1)].add(blk_out.reshape(-1, d))
         # per-device partial block outputs land on whichever device owns the
         # row: reduce_scatter converts (n_pad, d) partials to owned local rows
         cu = jax.lax.psum_scatter(contrib[: plan.u_pad], MODEL_AXIS,
