@@ -27,9 +27,12 @@ enable_compilation_cache()
 import jax
 
 
-def _top_ops_from_trace(logdir, top=25):
-    """Parse the captured xplane into per-op self times (µs)."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+def _top_ops_from_trace(logdir, top=30):
+    """Parse the captured xplane into per-op self times (the image's
+    tensorboard_plugin_profile is version-skewed vs TF; ``xprof`` works)."""
+    import json
+
+    from xprof.convert import raw_to_tool_data as rtd
 
     xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                         recursive=True)
@@ -37,7 +40,14 @@ def _top_ops_from_trace(logdir, top=25):
         raise RuntimeError(f"no xplane under {logdir} — device tracing may "
                            "not be supported through the remote tunnel")
     data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
-    return data
+    tab = json.loads(data if isinstance(data, str) else data.decode())
+    rows = tab[0]["rows"] if isinstance(tab, list) else tab["rows"]
+    cols = [c["label"] for c in (tab[0] if isinstance(tab, list) else tab)["cols"]]
+    out = []
+    for r in rows[:top]:
+        vals = [c.get("v") for c in r["c"]]
+        out.append(dict(zip(cols, vals)))
+    return out
 
 
 def main():
