@@ -301,6 +301,9 @@ def bench_sharded_epoch(data, scale, epochs=2):
 
     nu, ni = data.num_users, data.num_items
     n = nu + ni
+    # compute_dtype stays f32: bf16 gather SOURCES measured SLOWER on v5e
+    # (3.60 -> 4.80 s/epoch) — the per-edge gathers are row-op bound, not
+    # bandwidth bound, and bf16 (16,128)-tiled rows gather slower than f32
     cfg = Config(model=ModelConfig(num_layers=scale["layers"], dim=scale["dim"]),
                  train=TrainConfig(symmetric_vjp=True))
     mesh = make_mesh(data_parallel=1, model_parallel=1)

@@ -350,8 +350,12 @@ def spmm_chunked_ell(ell: ChunkedEll, emb: jax.Array,
         nbr = ell.nbr[i * (c // s):(i + 1) * (c // s)]
         w = ell.w[i * (c // s):(i + 1) * (c // s)]
         g = emb_pad[nbr]                             # (c/s, W, d)
-        outs.append(jnp.einsum("cw,cwd->cd", w.astype(emb.dtype), g))
-    red = jnp.concatenate(outs, axis=0)              # (C, d)
+        # f32 combine regardless of the (possibly bf16) gather dtype: the
+        # W-wide chunk reduce and the per-node segment sum accumulate in f32,
+        # so a bf16 ``emb`` only rounds the gathered operands
+        outs.append(jnp.einsum("cw,cwd->cd", w.astype(emb.dtype), g,
+                               preferred_element_type=jnp.float32))
+    red = jnp.concatenate(outs, axis=0)              # (C, d) f32
     return jax.ops.segment_sum(red, ell.dst, num_segments=ell.num_nodes,
                                indices_are_sorted=True)
 
@@ -468,15 +472,16 @@ def spmm_hybrid(h: HybridGraph, emb: jax.Array) -> jax.Array:
         h.adj, blk_in,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(emb.dtype)                                   # (K, P, d)
+    )                                                     # (K, P, d) f32
     if h.pos is not None:
         # each node owns exactly one block slot (pad slots carry zero adj
         # rows), so the combine is a row GATHER — no scatter, no full-table
         # rewrite
         contrib = jnp.where(h.cov[:, None], blk_out.reshape(-1, d)[h.pos],
-                            jnp.zeros((), emb.dtype))
-        return out + contrib
-    return out.at[h.ids.reshape(-1)].add(blk_out.reshape(-1, d))
+                            jnp.zeros((), blk_out.dtype))
+        return (out + contrib).astype(jnp.float32)
+    return out.at[h.ids.reshape(-1)].add(
+        blk_out.reshape(-1, d).astype(out.dtype))
 
 
 def _zero_cotangent(x):

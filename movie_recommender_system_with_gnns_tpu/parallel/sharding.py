@@ -365,6 +365,14 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
     num_layers = cfg.model.num_layers
     readout = cfg.model.readout
     spmm_chunks = max(int(getattr(cfg.train, "spmm_chunks", 1)), 1)
+    # gather-source dtype. compute_dtype="bfloat16" rounds only the gathered
+    # operands (f32 edge weights promote the products, so all accumulations
+    # still sum in f32). MEASURED r4 on v5e: bf16 sources are SLOWER
+    # (sharded epoch 3.60 → 4.80 s) — the per-edge gathers are row-op bound,
+    # not bandwidth bound, and bf16 (16,128)-tiled rows gather slower than
+    # f32 — so the default stays float32; the knob remains for narrower-HBM
+    # targets.
+    cdtype = jnp.dtype(cfg.model.compute_dtype)
 
     def local_propagate(u_shard, i_shard, src, dst_local, w):
         """K layers of (all_gather → local segment-sum); returns local final rows.
@@ -377,7 +385,8 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
         def gather_full(u_loc_rows, i_loc_rows):
             uf = jax.lax.all_gather(u_loc_rows, MODEL_AXIS, axis=0, tiled=True)
             itf = jax.lax.all_gather(i_loc_rows, MODEL_AXIS, axis=0, tiled=True)
-            return jnp.concatenate([uf, itf], axis=0)          # (n_pad, d)
+            # cast BEFORE the per-edge gathers (see cdtype note above)
+            return jnp.concatenate([uf, itf], axis=0).astype(cdtype)
 
         def layer(full):
             if spmm_chunks == 1 or src.shape[0] % spmm_chunks != 0:
@@ -393,8 +402,10 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
                 return acc.at[d].add(full[s] * wt[:, None]), None
 
             # init carry derived from `full` so its varying-axes match the body
-            # output under shard_map's vma typecheck (cf. ops/topk.py)
-            z = jnp.where(jnp.isnan(full[0, 0]), 0.0, 0.0).astype(full.dtype)
+            # output under shard_map's vma typecheck (cf. ops/topk.py); f32
+            # regardless of the (possibly bf16) gather dtype — the message
+            # products promote to f32, so the accumulator must match
+            z = jnp.where(jnp.isnan(full[0, 0].astype(jnp.float32)), 0.0, 0.0)
             acc0 = jnp.broadcast_to(z, (l_rows, full.shape[1]))
             out, _ = jax.lax.scan(body, acc0, xs)
             return out
@@ -423,7 +434,9 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
         u_cur, i_cur = uv
         uf = jax.lax.all_gather(u_cur, MODEL_AXIS, axis=0, tiled=True)
         itf = jax.lax.all_gather(i_cur, MODEL_AXIS, axis=0, tiled=True)
-        full = jnp.concatenate([uf, itf], axis=0)             # (n_pad, d)
+        # cast BEFORE the ELL/block gathers (see cdtype note above); f32 w
+        # promotes the products, so sums still accumulate in f32
+        full = jnp.concatenate([uf, itf], axis=0).astype(cdtype)
         d = full.shape[1]
         l_rows = plan.u_loc + plan.i_loc
         if enbr is not None:
@@ -441,14 +454,14 @@ def _make_local_propagates(cfg: Config, plan: ShardPlan, symmetric: bool):
             adj, blk_in,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(full.dtype)                                  # (K_loc, P, d)
+        )                                                     # (K_loc, P, d) f32
         if pos is not None:
             # permutation-gather combine (each node sits in ≤1 block of this
             # shard; pad slots carry zero adj rows) — no big-table scatter
             contrib = jnp.where(cov[:, None], blk_out.reshape(-1, d)[pos],
-                                jnp.zeros((), full.dtype))
+                                jnp.zeros((), blk_out.dtype))
         else:
-            contrib = jnp.zeros((plan.n_pad, d), full.dtype).at[
+            contrib = jnp.zeros((plan.n_pad, d), blk_out.dtype).at[
                 ids.reshape(-1)].add(blk_out.reshape(-1, d))
         # per-device partial block outputs land on whichever device owns the
         # row: reduce_scatter converts (n_pad, d) partials to owned local rows

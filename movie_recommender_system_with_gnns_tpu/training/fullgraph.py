@@ -175,8 +175,22 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
     ``epoch_fn(state, fg, key) -> (state, mean_loss)``.
     """
     opt = make_optimizer(cfg)
-    spmm = (spmm_hybrid_sym if (cfg.train.symmetric_vjp and fg.symmetric_ok)
-            else spmm_hybrid)
+    cdtype = jnp.dtype(cfg.model.compute_dtype)
+    if cdtype == jnp.float32:
+        base = spmm_hybrid
+    else:
+        # cast the gather-source operand per layer (accumulations stay f32 —
+        # ops/spmm.py): halves the HBM-bound per-edge/block gather traffic,
+        # the trade cfg.model.compute_dtype="bfloat16" opts into. The
+        # symmetric wrapper then applies the same rounding to cotangents.
+        def base(g, e):
+            return spmm_hybrid(g, e.astype(cdtype))
+    if cfg.train.symmetric_vjp and fg.symmetric_ok:
+        from ..ops.spmm import spmm_symmetric
+
+        spmm = spmm_symmetric(base) if cdtype != jnp.float32 else spmm_hybrid_sym
+    else:
+        spmm = base
 
     @partial(jax.jit, donate_argnums=(0,),
              static_argnames=("e_real", "num_steps", "batch"))

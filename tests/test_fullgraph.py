@@ -108,6 +108,35 @@ def test_fullgraph_loss_and_grads_match_segment_oracle():
         assert rel < 1e-4, rel
 
 
+def test_bf16_compute_dtype_close_to_f32():
+    """compute_dtype='bfloat16' rounds only the gathered propagation operands
+    (accumulation stays f32 — ops/spmm.py), so fullgraph loss/grads stay
+    within bf16 rounding of the f32 path."""
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.ops.sampling import (
+        sample_negative, triplets_from_edges,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
+        build_fullgraph_data, make_fullgraph_epoch_fn,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        create_train_state,
+    )
+
+    data, n, _ = _tiny_setup(seed=9)
+    losses = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = Config(model=ModelConfig(num_layers=2, dim=16, compute_dtype=cd),
+                     train=TrainConfig(trainer="fullgraph", fullgraph_steps=2,
+                                       loss="standard"))
+        fg = build_fullgraph_data(cfg, data.edge_index, data.num_users, n)
+        state = create_train_state(cfg, data.num_users, data.num_items)
+        epoch = make_fullgraph_epoch_fn(cfg, fg)
+        state, loss = epoch(state, fg, jax.random.PRNGKey(0))
+        losses[cd] = float(loss)
+    assert abs(losses["bfloat16"] - losses["float32"]) < 5e-3, losses
+
+
 def test_microbatched_loss_grads_match_full_batch():
     """compute_loss_grads_microbatched ≡ value_and_grad(compute_loss): the
     mask-count-weighted average of per-chunk masked means equals the global
