@@ -657,20 +657,23 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
                 u_rows, i_rows, n_rows, cluster, neg, adj)
 
             # exact DENSE item gradient (duplicate negative rows sum — torch
-            # autograd semantics). Negatives go through sort + sorted
-            # segment-sum (f32 sums reorder only): ~100 µs/step cheaper than
-            # the unsorted scatter lowering at ML-25M scale.
+            # autograd semantics). Negatives AND the cluster's positive-item
+            # rows ride ONE sort + sorted segment-sum: the r3 version
+            # scattered the positive rows separately via .at[item_ids].add,
+            # which XLA lowers as a full-table rewrite (~30 MB/step; profiled
+            # r4 at 29.8 ms/epoch — the largest reducible term of the
+            # headline's floor gap). Sorting the extra 2.5K keys costs ~µs.
             gu = gu * user_valid[:, None].astype(gu.dtype)
             neg_flat = neg.reshape(-1)
             gn_flat = gn.reshape(neg_flat.shape[0], -1)
-            neg_s, a = jax.lax.sort_key_val(
-                neg_flat, jnp.arange(neg_flat.shape[0], dtype=jnp.int32))
-            gi_dense = jax.ops.segment_sum(gn_flat[a], neg_s,
+            all_idx = jnp.concatenate([neg_flat, item_ids])
+            all_val = jnp.concatenate(
+                [gn_flat, gi * item_valid[:, None].astype(gi.dtype)])
+            idx_s, a = jax.lax.sort_key_val(
+                all_idx, jnp.arange(all_idx.shape[0], dtype=jnp.int32))
+            gi_dense = jax.ops.segment_sum(all_val[a], idx_s,
                                            num_segments=num_items,
                                            indices_are_sorted=True)
-            gi_dense = gi_dense.at[item_ids].add(
-                gi * item_valid[:, None].astype(gi.dtype),
-                indices_are_sorted=True, unique_indices=True)
             # user rows are unique per cluster, so the masked row norm equals
             # the dense user-grad norm exactly — clip semantics preserved
             gn_norm = jnp.sqrt(jnp.sum(gu**2) + jnp.sum(gi_dense**2))
