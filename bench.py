@@ -598,7 +598,8 @@ def main():
     serving_qps, mips_util, mips_method = bench_serving(data, scale)
     paths["mips"] = mips_method
     sys.stderr.write(f"[bench] serving: {serving_qps:.0f} queries/s "
-                     f"(batch-1024 top-10 over {data.num_items} items)\n")
+                     f"(32K-query flat dispatch, top-10 over "
+                     f"{data.num_items} items)\n")
 
     kind, pf, pb = device_peaks()
     edges = data.edge_index.shape[1]
