@@ -83,6 +83,14 @@ def main():
                     "bounds the biased-compact-gradient drift the same way "
                     "it closed the fullgraph runs' best-vs-final gap")
     ap.add_argument("--lr-warmup-epochs", type=float, default=0.0)
+    ap.add_argument("--correction", default="boundary",
+                    choices=["none", "boundary"],
+                    help="'boundary' rebuilds the frozen inter-cluster "
+                    "correction (training/compact.py::"
+                    "build_boundary_correction) at every full-graph refresh "
+                    "so compact gradients are evaluated at the true forward "
+                    "point; 'none' keeps raw Cluster-GCN semantics (the r8 "
+                    "recipe, which converged below its own best-val)")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--eval-users", type=int, default=5000)
     ap.add_argument("--final-eval-users", type=int, default=0,
@@ -155,6 +163,24 @@ def main():
     fullgraph_epoch = make_fullgraph_epoch_fn(cfg_f, fg)
 
     state = create_train_state(cfg_c, data.num_users, data.num_items)
+
+    if args.correction == "boundary":
+        from movie_recommender_system_with_gnns_tpu.training.compact import (
+            build_boundary_correction,
+        )
+
+        def refresh_corr(cc_, params):
+            t = time.time()
+            corr, neg_rest = build_boundary_correction(
+                params, fg.hybrid, cc_, cfg_c, data.num_users)
+            corr.block_until_ready()
+            return cc_.with_correction(corr, neg_rest), time.time() - t
+
+        cc, dt_corr = refresh_corr(cc, state.params)
+        print(f"boundary correction built in {dt_corr:.2f}s "
+              f"(corr {tuple(cc.corr.shape)}, neg_rest {tuple(cc.neg_rest.shape)})")
+    else:
+        refresh_corr = None
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     eval_normalize = args.loss != "standard"
     best = {"r": -1.0, "epoch": -1}
@@ -169,6 +195,11 @@ def main():
         t0 = time.time()
         if is_refresh:
             state, loss = fullgraph_epoch(state, fg, ek)
+            if refresh_corr is not None:
+                # correction staleness resets here: rebuild from the freshly
+                # refreshed tables (cost counted inside the refresh epoch)
+                loss = float(loss)
+                cc, _ = refresh_corr(cc, state.params)
         else:
             state, loss = compact_epoch(state, cc, ek)
         loss = float(loss)
@@ -179,12 +210,20 @@ def main():
         logger.log(epoch, train_loss=loss, epoch_time_s=dt,
                    kind=1.0 if is_refresh else 0.0)
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            # in-run evals ride the bf16 score lane (VERDICT r4 item 2); the
+            # final test eval below keeps f32 oracle parity
             r, n = evaluate_full_ranking(state.params, train_e, val_e,
                                          data.num_users, k=10,
                                          max_users=args.eval_users,
-                                         normalize=eval_normalize, cfg=cfg_c)
-            print(f"  full-ranking val Recall@10 {r:.4f} NDCG@10 {n:.4f}")
-            logger.log(epoch, val_full_recall10=r, val_full_ndcg10=n)
+                                         normalize=eval_normalize, cfg=cfg_c,
+                                         score_dtype="bfloat16")
+            et = evaluate_full_ranking.last_timings
+            print(f"  full-ranking val Recall@10 {r:.4f} NDCG@10 {n:.4f} "
+                  f"(eval {et['total_s']:.2f}s, mask {et['mask_build_s']:.2f}s"
+                  f"{', cached' if et.get('groupby_cached') else ''})")
+            logger.log(epoch, val_full_recall10=r, val_full_ndcg10=n,
+                       eval_total_s=et["total_s"],
+                       eval_mask_build_s=et["mask_build_s"])
             if r > best["r"]:
                 best.update(r=r, epoch=epoch)
                 save_params(os.path.join(args.out, "best_fullrank.npz"),

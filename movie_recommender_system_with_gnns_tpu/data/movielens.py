@@ -336,6 +336,14 @@ def split_edges(
     else:
         val_idx = np.sort(np.load(val_file))
         test_idx = np.sort(np.load(test_file))
+        top = max(val_idx[-1] if val_idx.size else -1,
+                  test_idx[-1] if test_idx.size else -1)
+        if top >= num_edges:
+            raise ValueError(
+                f"persisted split indices in {indexes_dir} reference edge "
+                f"{top} but this dataset has only {num_edges} edges — the "
+                "indices belong to a DIFFERENT dataset; delete the dir or "
+                "point indexes_dir elsewhere")
         train_idx = np.setdiff1d(np.arange(num_edges), np.concatenate([val_idx, test_idx]))
         # reference asserts strict sortedness on reload (dataset_handler.py:229-231)
         assert np.all(np.diff(train_idx) > 0)
@@ -393,6 +401,14 @@ def _split_interactions(
     else:
         val_idx = np.sort(np.load(val_file))
         test_idx = np.sort(np.load(test_file))
+        top = max(val_idx[-1] if val_idx.size else -1,
+                  test_idx[-1] if test_idx.size else -1)
+        if top >= num_pairs:
+            raise ValueError(
+                f"persisted split indices in {indexes_dir} reference pair "
+                f"{top} but this dataset has only {num_pairs} pairs — the "
+                "indices belong to a DIFFERENT dataset; delete the dir or "
+                "point indexes_dir elsewhere")
     train_idx = np.setdiff1d(np.arange(num_pairs),
                              np.concatenate([val_idx, test_idx]))
     return (

@@ -54,7 +54,8 @@ class CompactClusters:
     def __init__(self, user_ids, item_ids, src, dst, w, user_local, pos_local,
                  mask, edge_counts, user_valid, item_valid, u_pad, i_pad,
                  adj=None, user_cluster=None, user_slot=None,
-                 users_disjoint=True, member_table=None):
+                 users_disjoint=True, member_table=None, corr=None,
+                 neg_rest=None):
         self.user_ids, self.item_ids = user_ids, item_ids          # (K, Upad), (K, Ipad)
         self.src, self.dst, self.w = src, dst, w                   # (K, Epad)
         self.user_local, self.pos_local = user_local, pos_local    # (K, B)
@@ -74,20 +75,42 @@ class CompactClusters:
         # sorted (2, L) int32 train-pair table (ops.sampling.build_member_table)
         # — present iff negatives='feasible' (exact rejection resampling)
         self.member_table = member_table
+        # frozen boundary-embedding correction (VERDICT r4 item 1): per
+        # cluster+layer inter-cluster message term (K, L, n_local, d) and the
+        # frozen neighbor accumulator Σ_{l≥1} x_l for the ITEM table (I, d) —
+        # rebuilt from the full-graph propagation at every refresh
+        # (build_boundary_correction). None = uncorrected Cluster-GCN
+        # semantics (the reference's compromise, dataset_handler.py:256-288).
+        self.corr = corr
+        self.neg_rest = neg_rest
 
     def tree_flatten(self):
         return ((self.user_ids, self.item_ids, self.src, self.dst, self.w,
                  self.user_local, self.pos_local, self.mask, self.edge_counts,
                  self.user_valid, self.item_valid, self.adj,
-                 self.user_cluster, self.user_slot, self.member_table),
+                 self.user_cluster, self.user_slot, self.member_table,
+                 self.corr, self.neg_rest),
                 (self.u_pad, self.i_pad, self.users_disjoint))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:-4], u_pad=aux[0], i_pad=aux[1],
-                   adj=children[-4], user_cluster=children[-3],
-                   user_slot=children[-2], users_disjoint=aux[2],
-                   member_table=children[-1])
+        return cls(*children[:-6], u_pad=aux[0], i_pad=aux[1],
+                   adj=children[-6], user_cluster=children[-5],
+                   user_slot=children[-4], users_disjoint=aux[2],
+                   member_table=children[-3], corr=children[-2],
+                   neg_rest=children[-1])
+
+    def with_correction(self, corr, neg_rest) -> "CompactClusters":
+        """Copy of this cluster set carrying a (new) frozen boundary
+        correction. Shapes are stable across refreshes, so jitted epoch fns
+        do not retrace."""
+        return CompactClusters(
+            self.user_ids, self.item_ids, self.src, self.dst, self.w,
+            self.user_local, self.pos_local, self.mask, self.edge_counts,
+            self.user_valid, self.item_valid, self.u_pad, self.i_pad,
+            adj=self.adj, user_cluster=self.user_cluster,
+            user_slot=self.user_slot, users_disjoint=self.users_disjoint,
+            member_table=self.member_table, corr=corr, neg_rest=neg_rest)
 
     @property
     def num_clusters(self) -> int:
@@ -221,7 +244,7 @@ def densify_adjacency(cc: CompactClusters, dtype=jnp.bfloat16,
         cc.pos_local, cc.mask, cc.edge_counts, cc.user_valid, cc.item_valid,
         cc.u_pad, cc.i_pad, adj=adj, user_cluster=cc.user_cluster,
         user_slot=cc.user_slot, users_disjoint=cc.users_disjoint,
-        member_table=cc.member_table,
+        member_table=cc.member_table, corr=cc.corr, neg_rest=cc.neg_rest,
     )
 
 
@@ -244,8 +267,77 @@ def attach_member_table(cc: CompactClusters,
         cc.pos_local, cc.mask, cc.edge_counts, cc.user_valid, cc.item_valid,
         cc.u_pad, cc.i_pad, adj=cc.adj, user_cluster=cc.user_cluster,
         user_slot=cc.user_slot, users_disjoint=cc.users_disjoint,
-        member_table=table,
+        member_table=table, corr=cc.corr, neg_rest=cc.neg_rest,
     )
+
+
+@partial(jax.jit, static_argnames=("num_layers", "num_users", "n_local",
+                                   "cdtype", "corr_dtype"))
+def _boundary_correction_jit(user_emb, item_emb, hybrid, user_ids, item_ids,
+                             src, dst, w, adj, *, num_layers, num_users,
+                             n_local, cdtype, corr_dtype):
+    from ..ops.spmm import spmm_hybrid
+
+    emb = jnp.concatenate([user_emb, item_emb], axis=0).astype(cdtype)
+    xs = [emb]
+    x = emb
+    for _ in range(num_layers):
+        # same dtype flow as the fullgraph trainer's forward (fullgraph.py):
+        # gather/block sources in cdtype, f32 accumulation inside the kernel
+        x = spmm_hybrid(hybrid, x.astype(cdtype))
+        xs.append(x)
+    xs_stack = jnp.stack(xs)                       # (L+1, N, d)
+    # frozen neighbor accumulator Σ_{l≥1} x_l for the item table: an
+    # out-of-cluster negative's corrected final is (e_n + neg_rest[n])·scale —
+    # its own CURRENT row still carries gradient, the frozen neighborhood
+    # restores the inter-cluster mass the analytic e_n·scale form dropped
+    neg_rest = sum(xs[1:]).astype(corr_dtype)[num_users:]
+
+    def per_cluster(args):
+        uids, iids, src_c, dst_c, w_c, adj_c = args
+        ids = jnp.concatenate([uids, num_users + iids])
+        rows = xs_stack[:, ids, :]                 # (L+1, n_local, d)
+        layers = []
+        for l in range(num_layers):
+            local = _one_hop(rows[l], src_c, dst_c, w_c, adj_c, n_local)
+            layers.append((rows[l + 1] - local).astype(corr_dtype))
+        return jnp.stack(layers)                   # (L, n_local, d)
+
+    if adj is not None:
+        corr = jax.lax.map(per_cluster,
+                           (user_ids, item_ids, src, dst, w, adj))
+    else:
+        corr = jax.lax.map(lambda a: per_cluster(a + (None,)),
+                           (user_ids, item_ids, src, dst, w))
+    return corr, neg_rest
+
+
+def build_boundary_correction(params: LightGCNParams, hybrid, cc: CompactClusters,
+                              cfg: Config, num_users: int,
+                              corr_dtype: str = "float32"):
+    """Frozen inter-cluster correction from one full-graph propagation.
+
+    The TPU-native fix for Cluster-GCN's structural bias (the reference drops
+    every inter-cluster message, data/dataset_handler.py:256-288; at 100
+    parts only ~39% of ML-25M's edge mass survives): propagate the CURRENT
+    tables over the FULL hybrid adjacency once (L spmms), then cache, per
+    cluster and layer, the remainder ``corr[c, l] = x_{l+1}[ids_c] −
+    Â_c·x_l[ids_c]`` — everything the cluster-local operator misses
+    (inter-cluster messages AND the local-vs-global degree-normalization
+    mismatch). Compact epochs add the frozen term per layer
+    (:func:`_propagate_local`), so their gradients are evaluated at the true
+    forward point; staleness is bounded by the refresh cadence.
+
+    Returns ``(corr, neg_rest)`` for :meth:`CompactClusters.with_correction`:
+    corr is (K, L, n_local, d), neg_rest (num_items, d) — the frozen
+    Σ_{l≥1} x_l item rows used for out-of-cluster negatives' finals.
+    """
+    return _boundary_correction_jit(
+        params.user_emb, params.item_emb, hybrid,
+        cc.user_ids, cc.item_ids, cc.src, cc.dst, cc.w, cc.adj,
+        num_layers=cfg.model.num_layers, num_users=num_users,
+        n_local=cc.u_pad + cc.i_pad,
+        cdtype=cfg.model.compute_dtype, corr_dtype=corr_dtype)
 
 
 def _step_negatives(cfg: Config, nk, user_ids, user_local, num_items, member):
@@ -261,25 +353,44 @@ def _step_negatives(cfg: Config, nk, user_ids, user_local, num_items, member):
                                     num=cfg.train.num_negatives)
 
 
-def _propagate_local(emb, src, dst, w, adj, num_layers, n_local):
+def _one_hop(cur, src, dst, w, adj, n_local):
+    """One propagation hop in the cluster's compact node space — the SAME op
+    the boundary-correction builder uses, so corrected propagation reproduces
+    the full-graph layers exactly at refresh time (see
+    build_boundary_correction)."""
+    if adj is not None:
+        # feed the MXU its native mix: low-precision operands (adj is
+        # stored bf16), f32 accumulation — and never materialize an f32
+        # copy of the 29 MB adjacency block
+        return jax.lax.dot_general(
+            adj, cur.astype(adj.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cur.dtype)
+    msg = cur[src] * w[:, None].astype(cur.dtype)
+    return jax.ops.segment_sum(msg, dst, num_segments=n_local,
+                               indices_are_sorted=True)
+
+
+def _propagate_local(emb, src, dst, w, adj, num_layers, n_local, corr=None):
     """Compact-space propagation: dense-Â matmuls when ``adj`` is present,
-    sorted segment-sum otherwise. Returns the layer-summed accumulator."""
+    sorted segment-sum otherwise. Returns the layer-summed accumulator.
+
+    ``corr`` is an optional (num_layers, n_local, d) FROZEN boundary
+    correction: layer l becomes ``Â_c·cur + corr[l]``, where corr[l] was
+    computed at the last full-graph refresh as the inter-cluster remainder
+    ``x_{l+1}[ids] − Â_c·x_l[ids]`` of the full propagation. With frozen
+    tables the corrected recursion reproduces the full-graph layers on the
+    cluster's nodes exactly (induction: y_l = x_l[ids] ⇒ y_{l+1} =
+    Â_c·x_l[ids] + x_{l+1}[ids] − Â_c·x_l[ids] = x_{l+1}[ids]), so compact
+    gradients are evaluated at the true forward point instead of the
+    39%-edge-retention one (VERDICT r4 item 1)."""
     acc = emb
     cur = emb
-    for _ in range(num_layers):
-        if adj is not None:
-            # feed the MXU its native mix: low-precision operands (adj is
-            # stored bf16), f32 accumulation — and never materialize an f32
-            # copy of the 29 MB adjacency block
-            cur = jax.lax.dot_general(
-                adj, cur.astype(adj.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(emb.dtype)
-        else:
-            msg = cur[src] * w[:, None].astype(emb.dtype)
-            cur = jax.ops.segment_sum(msg, dst, num_segments=n_local,
-                                      indices_are_sorted=True)
+    for layer in range(num_layers):
+        cur = _one_hop(cur, src, dst, w, adj, n_local)
+        if corr is not None:
+            cur = cur + jax.lax.stop_gradient(corr[layer]).astype(cur.dtype)
         acc = acc + cur
     return acc
 
@@ -315,7 +426,8 @@ def _neg_local_index(item_ids, neg, i_pad: int, num_items: int):
 
 def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
                   pos_local, mask, cfg: Config, i_pad: int, scale: float,
-                  num_items: int, allow_fused: bool = True) -> jax.Array:
+                  num_items: int, allow_fused: bool = True,
+                  nrest=None) -> jax.Array:
     """Shared compact-space BPR dispatch: fused Pallas kernel when enabled and
     the cluster tables fit its VMEM budget, XLA row-op path otherwise.
 
@@ -329,6 +441,14 @@ def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
     d = u_rows.shape[1]
     use_fused = (allow_fused and cfg.train.fused_bpr
                  and cfg.train.loss in ("reference", "standard"))
+    if use_fused and nrest is not None:
+        import warnings
+
+        warnings.warn(
+            "fused_bpr ignores the boundary correction's frozen negative "
+            "term (the kernel computes out-of-cluster finals analytically); "
+            "using the XLA loss path for corrected epochs", stacklevel=2)
+        use_fused = False
     if use_fused:
         from ..ops.pallas_bpr import fused_bpr_loss, fused_bpr_supported
 
@@ -370,9 +490,13 @@ def _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids, user_local,
     pf, pi = p_cat[:, :d], p_cat[:, d:]
     # negatives over the FULL catalog (reference helpers.py:79-80): in-cluster
     # negatives take the propagated row; out-of-cluster ones are isolated under
-    # cluster propagation → final = table_row · scale analytically
+    # cluster propagation → final = table_row · scale analytically — unless a
+    # frozen boundary correction supplies the neighbor mass (nrest), in which
+    # case final = (table_row + Σ_{l≥1} x_l[frozen]) · scale
     loc, in_cluster = _neg_local_index(item_ids, neg, i_pad, num_items)
-    nf = jnp.where(in_cluster[..., None], fi[loc], ni * scale)
+    iso = ni if nrest is None else ni + jax.lax.stop_gradient(
+        nrest).astype(ni.dtype)
+    nf = jnp.where(in_cluster[..., None], fi[loc], iso * scale)
 
     loss_fn = select_bpr_loss(cfg.train.loss)
     return loss_fn(uf, ui, pf, pi, nf, ni, cfg.train.bpr_coeff, mask=mask)
@@ -386,12 +510,16 @@ def compact_cluster_loss(
     u_pad: int,
     i_pad: int,
     adj: Optional[jax.Array] = None,
+    corr: Optional[jax.Array] = None,
+    neg_rest: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reference-equivalent BPR loss for one compact cluster.
 
     Matches ``training.train.compute_loss`` over the same cluster with global
     propagation (tests/test_compact.py::test_compact_matches_full_space).
     ``neg`` may be (B,) or (B, K) — K uniform negatives per positive.
+    ``corr``/``neg_rest`` add the frozen boundary correction (see
+    :func:`build_boundary_correction`).
     """
     (user_ids, item_ids, src, dst, w, user_local, pos_local, mask) = cluster
     n_local = u_pad + i_pad
@@ -402,14 +530,16 @@ def compact_cluster_loss(
     u_rows = params.user_emb[user_ids]           # (Upad, d) gather
     i_rows = params.item_emb[item_ids]           # (Ipad, d)
     emb = jnp.concatenate([u_rows, i_rows], axis=0).astype(cdtype)
-    acc = _propagate_local(emb, src, dst, w, adj, cfg.model.num_layers, n_local)
+    acc = _propagate_local(emb, src, dst, w, adj, cfg.model.num_layers,
+                           n_local, corr=corr)
     final = acc.astype(jnp.float32) * scale
     fu, fi = final[:u_pad], final[u_pad:]
 
     ni = params.item_emb[neg]
+    nrest = None if neg_rest is None else neg_rest[neg]
     return _triplet_loss(fu, u_rows, fi, i_rows, ni, neg, item_ids,
                          user_local, pos_local, mask, cfg, i_pad, scale,
-                         num_items=params.item_emb.shape[0])
+                         num_items=params.item_emb.shape[0], nrest=nrest)
 
 
 # ---------------------------------------------------------------------------
@@ -484,9 +614,10 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             cc.w[perm], cc.user_local[perm], cc.pos_local[perm], cc.mask[perm],
             cc.edge_counts[perm], cc.user_valid[perm], cc.item_valid[perm], keys,
             cc.adj[perm] if cc.adj is not None else None,
+            cc.corr[perm] if cc.corr is not None else None,
         )
 
-        def row_loss(u_rows, i_rows, n_rows, cluster, neg, adj):
+        def row_loss(u_rows, i_rows, n_rows, cluster, neg, adj, corr, nrest):
             (user_ids, item_ids, src, dst, w, user_local, pos_local, mask) = cluster
             n_local = cc.u_pad + cc.i_pad
             k1 = cfg.model.num_layers + 1
@@ -494,7 +625,7 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             cdtype = jnp.dtype(cfg.model.compute_dtype)
             emb = jnp.concatenate([u_rows, i_rows], axis=0).astype(cdtype)
             acc = _propagate_local(emb, src, dst, w, adj,
-                                   cfg.model.num_layers, n_local)
+                                   cfg.model.num_layers, n_local, corr=corr)
             final = acc.astype(jnp.float32) * scale
             fu, fi = final[:cc.u_pad], final[cc.u_pad:]
             # shared dispatch — the fused Pallas kernel works here too: its
@@ -502,13 +633,15 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             # autodiff chains them through the propagation to the row args
             return _triplet_loss(fu, u_rows, fi, i_rows, n_rows, neg,
                                  item_ids, user_local, pos_local, mask,
-                                 cfg, cc.i_pad, scale, num_items=num_items)
+                                 cfg, cc.i_pad, scale, num_items=num_items,
+                                 nrest=nrest)
 
         def body(carry, x):
             params, ost = carry
             cluster = x[:8]
             ecount = x[8]
-            user_valid, item_valid, nk, adj = x[9], x[10], x[11], x[12]
+            user_valid, item_valid, nk, adj, corr = (x[9], x[10], x[11],
+                                                     x[12], x[13])
             user_ids, item_ids = cluster[0], cluster[1]
             neg = _step_negatives(cfg, nk, cluster[0], cluster[5],
                                   num_items, cc.member_table)
@@ -516,8 +649,9 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             u_rows = params.user_emb[user_ids]
             i_rows = params.item_emb[item_ids]
             n_rows = params.item_emb[neg]
+            nrest = None if cc.neg_rest is None else cc.neg_rest[neg]
             loss, (gu, gi, gn) = jax.value_and_grad(row_loss, argnums=(0, 1, 2))(
-                u_rows, i_rows, n_rows, cluster, neg, adj)
+                u_rows, i_rows, n_rows, cluster, neg, adj, corr, nrest)
 
             # global-norm clip over the row grads (duplicate-row sums differ
             # negligibly from the dense norm; see _lazy_row_update)
@@ -613,7 +747,7 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
         perm = jax.random.permutation(perm_key, k)
         keys = jax.random.split(neg_key, k)
 
-        def row_loss(u_rows, i_rows, n_rows, cluster, neg, adj):
+        def row_loss(u_rows, i_rows, n_rows, cluster, neg, adj, corr, nrest):
             (user_ids, item_ids, src, dst, w, user_local, pos_local, mask) = cluster
             n_local = cc.u_pad + cc.i_pad
             k1 = cfg.model.num_layers + 1
@@ -621,12 +755,13 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
             cdtype = jnp.dtype(cfg.model.compute_dtype)
             emb = jnp.concatenate([u_rows, i_rows], axis=0).astype(cdtype)
             acc = _propagate_local(emb, src, dst, w, adj,
-                                   cfg.model.num_layers, n_local)
+                                   cfg.model.num_layers, n_local, corr=corr)
             final = acc.astype(jnp.float32) * scale
             fu, fi = final[:cc.u_pad], final[cc.u_pad:]
             return _triplet_loss(fu, u_rows, fi, i_rows, n_rows, neg,
                                  item_ids, user_local, pos_local, mask,
-                                 cfg, cc.i_pad, scale, num_items=num_items)
+                                 cfg, cc.i_pad, scale, num_items=num_items,
+                                 nrest=nrest)
 
         user_emb0 = state.params.user_emb
         mu_u0 = state.opt_state.mu.user_emb
@@ -641,6 +776,7 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
             user_valid = cc.user_valid[c]
             item_valid = cc.item_valid[c]
             adj = cc.adj[c] if cc.adj is not None else None
+            corr = cc.corr[c] if cc.corr is not None else None
             user_ids, item_ids = cluster[0], cluster[1]
             neg = _step_negatives(cfg, nk, cluster[0], cluster[5],
                                   num_items, cc.member_table)
@@ -653,8 +789,9 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
             nu_rows = nu_u0[user_ids]
             i_rows = item_emb[item_ids]
             n_rows = item_emb[neg]
+            nrest = None if cc.neg_rest is None else cc.neg_rest[neg]
             loss, (gu, gi, gn) = jax.value_and_grad(row_loss, argnums=(0, 1, 2))(
-                u_rows, i_rows, n_rows, cluster, neg, adj)
+                u_rows, i_rows, n_rows, cluster, neg, adj, corr, nrest)
 
             # exact DENSE item gradient (duplicate negative rows sum — torch
             # autograd semantics). Negatives AND the cluster's positive-item
@@ -756,16 +893,18 @@ def make_compact_epoch_fn(cfg: Config):
             cc.w[perm], cc.user_local[perm], cc.pos_local[perm], cc.mask[perm],
             cc.edge_counts[perm], keys,
             cc.adj[perm] if cc.adj is not None else None,
+            cc.corr[perm] if cc.corr is not None else None,
         )
 
         def body(carry, x):
             st = carry
             cluster = x[:8]
-            ecount, nk, adj = x[8], x[9], x[10]
+            ecount, nk, adj, corr = x[8], x[9], x[10], x[11]
             neg = _step_negatives(cfg, nk, cluster[0], cluster[5],
                                   num_items, cc.member_table)
             loss, grads = jax.value_and_grad(compact_cluster_loss)(
-                st.params, cluster, neg, cfg, cc.u_pad, cc.i_pad, adj)
+                st.params, cluster, neg, cfg, cc.u_pad, cc.i_pad, adj,
+                corr, cc.neg_rest)
             updates, opt_state = opt.update(grads, st.opt_state, st.params)
             params = optax.apply_updates(st.params, updates)
             return TrainState(params, opt_state, st.step + 1), loss * ecount
