@@ -91,6 +91,20 @@ def main():
                     "so compact gradients are evaluated at the true forward "
                     "point; 'none' keeps raw Cluster-GCN semantics (the r8 "
                     "recipe, which converged below its own best-val)")
+    ap.add_argument("--compact-optimizer", default="adam",
+                    choices=["adam", "hybrid_adam", "lazy_item_adam"],
+                    help="optimizer for the COMPACT epochs. hybrid_adam / "
+                    "lazy_item_adam are the fused fast paths (training/"
+                    "compact.py); the shared Adam moments convert losslessly "
+                    "at each trainer switch (lazy_state_from_optax/"
+                    "_to_optax) so the recipe still advances one schedule")
+    ap.add_argument("--eval-propagated", type=int, default=1,
+                    help="1 = rank with K-layer propagated tables (protocol-"
+                    "consistent: loss='standard' optimizes propagated inner "
+                    "products, and it is the LightGCN-paper serving protocol "
+                    "— measured +0.014 test recall@10 over layer-0 at the "
+                    "d=128 bridge point); 0 = raw layer-0 tables (the "
+                    "reference's serving contract)")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--eval-users", type=int, default=5000)
     ap.add_argument("--final-eval-users", type=int, default=0,
@@ -118,7 +132,8 @@ def main():
                         indexes_dir=os.path.join(args.out, "indexes")),
         model=ModelConfig(num_layers=args.layers, dim=args.dim),
         train=TrainConfig(trainer="compact", epochs=args.epochs,
-                          lr=args.lr * args.compact_lr_scale, **base_train),
+                          lr=args.lr * args.compact_lr_scale,
+                          optimizer=args.compact_optimizer, **base_train),
     )
     cfg_f = cfg_c.replace(train=TrainConfig(trainer="fullgraph",
                                             epochs=args.epochs, lr=args.lr,
@@ -164,6 +179,24 @@ def main():
 
     state = create_train_state(cfg_c, data.num_users, data.num_items)
 
+    # fused compact fast paths keep Adam moments in LazyAdamState form; the
+    # fullgraph refresh runs on the optax chain — convert losslessly at each
+    # switch (same update law, same schedule position)
+    optax_template = None
+    if args.compact_optimizer != "adam":
+        from movie_recommender_system_with_gnns_tpu.training.compact import (
+            lazy_state_from_optax, lazy_state_to_optax,
+        )
+        from movie_recommender_system_with_gnns_tpu.training.train import (
+            TrainState, make_optimizer,
+        )
+
+        # eval_shape: the template only contributes STRUCTURE (node types +
+        # count dtype) — every array leaf is replaced at conversion time, so
+        # no zero-moment buffers are held alive across the run
+        optax_template = jax.eval_shape(make_optimizer(cfg_f).init,
+                                        state.params)
+
     if args.correction == "boundary":
         from movie_recommender_system_with_gnns_tpu.training.compact import (
             build_boundary_correction,
@@ -194,7 +227,17 @@ def main():
                       and (epoch + 1) % args.refresh_every == 0)
         t0 = time.time()
         if is_refresh:
-            state, loss = fullgraph_epoch(state, fg, ek)
+            if optax_template is not None:
+                fst = TrainState(state.params,
+                                 lazy_state_to_optax(state.opt_state,
+                                                     optax_template),
+                                 state.step)
+                fst, loss = fullgraph_epoch(fst, fg, ek)
+                state = type(state)(fst.params,
+                                    lazy_state_from_optax(fst.opt_state),
+                                    fst.step)
+            else:
+                state, loss = fullgraph_epoch(state, fg, ek)
             if refresh_corr is not None:
                 # correction staleness resets here: rebuild from the freshly
                 # refreshed tables (cost counted inside the refresh epoch)
@@ -215,6 +258,7 @@ def main():
             r, n = evaluate_full_ranking(state.params, train_e, val_e,
                                          data.num_users, k=10,
                                          max_users=args.eval_users,
+                                         use_propagated=bool(args.eval_propagated),
                                          normalize=eval_normalize, cfg=cfg_c,
                                          score_dtype="bfloat16")
             et = evaluate_full_ranking.last_timings
@@ -247,6 +291,7 @@ def main():
     bp, _ = load_params(os.path.join(args.out, "best_fullrank.npz"))
     rt, nt = evaluate_full_ranking(bp, train_e, test_e, data.num_users, k=10,
                                    max_users=args.final_eval_users or None,
+                                   use_propagated=bool(args.eval_propagated),
                                    normalize=eval_normalize, cfg=cfg_c)
     timings = evaluate_full_ranking.last_timings
     print(f"TEST at best-val (epoch {best['epoch']}): Recall@10 {rt:.4f} "

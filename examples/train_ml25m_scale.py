@@ -66,7 +66,7 @@ def main():
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
     ap.add_argument("--optimizer", default="adam",
-                    choices=["adam", "lazy_adam", "hybrid_adam"],
+                    choices=["adam", "lazy_adam", "hybrid_adam", "lazy_item_adam"],
                     help="hybrid_adam = the compact trainer's fast path "
                          "(exact dense Adam items + lazy user rows)")
     ap.add_argument("--balance-tol", type=float, default=0.0,

@@ -295,7 +295,7 @@ def main(argv=None) -> int:
     pt.add_argument("--loss", default="reference", choices=["reference", "standard"],
                     help="reference-quirk cosine-softplus BPR vs textbook BPR")
     pt.add_argument("--optimizer", default="adam",
-                    choices=["adam", "lazy_adam", "hybrid_adam"])
+                    choices=["adam", "lazy_adam", "hybrid_adam", "lazy_item_adam"])
     pt.add_argument("--partitioner", default="greedy",
                     choices=["greedy", "random_edges"])
     pt.add_argument("--trainer", default="compact",

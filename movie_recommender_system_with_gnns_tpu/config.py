@@ -152,7 +152,11 @@ class TrainConfig:
     # "hybrid_adam" = exact dense Adam on the ITEM table + lazy user rows —
     # the compact trainer's fast path (a cluster touches ~1% of user rows but
     # its uniform negatives hit the whole item catalog; profiled rationale in
-    # training/compact.py::make_compact_hybrid_epoch_fn)
+    # training/compact.py::make_compact_hybrid_epoch_fn);
+    # "lazy_item_adam" = hybrid_adam with ROW-SPARSE item moments too
+    # (touched-rows-only Adam via run-length-compressed keys — drops the
+    # per-step dense (num_items, d) grad write + 3-table sweep at the price
+    # of SparseAdam staleness on untouched item rows)
     optimizer: str = "adam"
     # full-graph regime knobs (milestone-3 scale: 4-layer d=128 on ML-25M):
     # triplet minibatch per step (None = all train triplets in one step — only

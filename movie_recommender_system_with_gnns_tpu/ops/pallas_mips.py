@@ -137,7 +137,7 @@ def mips_topk_pallas(
 CHUNK = 128   # twophase chunk width == one VREG lane group
 
 
-def _score_chunkmax_kernel(n_ref, q_ref, c_ref, s_ref, cm_ref):
+def _score_chunkmax_kernel(n_ref, q_ref, c_ref, *rest, has_mask: bool):
     """Fused pass 1 of the exact twophase MIPS: one (QT, NT) score tile on the
     MXU, pad-column masking, bf16 store, and the tile's 128-lane chunk maxima
     — all while the tile is VMEM-resident. Replaces the XLA twophase's
@@ -146,8 +146,16 @@ def _score_chunkmax_kernel(n_ref, q_ref, c_ref, s_ref, cm_ref):
 
     n_ref: (1,) int32 scalar-prefetch — true catalog size (masks padding)
     q_ref: (QT, d) query tile;  c_ref: (NT, d) catalog tile
+    [m_ref: (QT, NT) int8 exclusion tile — 1 = excluded (train-seen filter,
+     reference recommend.py:48-50), streamed per tile like the r2 per-block
+     kernel's (VERDICT r4 item 5)]
     s_ref: (QT, NT) bf16 score tile out; cm_ref: (QT, NT/128) chunk maxima out
     """
+    if has_mask:
+        m_ref, s_ref, cm_ref = rest
+    else:
+        s_ref, cm_ref = rest
+        m_ref = None
     j = pl.program_id(1)
     s = jax.lax.dot_general(
         q_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -156,6 +164,8 @@ def _score_chunkmax_kernel(n_ref, q_ref, c_ref, s_ref, cm_ref):
     qt, nt = s.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (qt, nt), 1) + j * nt
     s = jnp.where(col < n_ref[0], s, NEG_INF)
+    if m_ref is not None:
+        s = jnp.where(m_ref[:] != 0, NEG_INF, s)
     sb = s.astype(s_ref.dtype)
     s_ref[:] = sb
     # chunk maxima stored CHUNK-MAJOR — (NT/128, QT) — so the output block's
@@ -175,6 +185,7 @@ def mips_topk_fused(
     n_tile: int = 2048,
     normalize: bool = True,
     score_dtype=jnp.bfloat16,
+    exclude_mask=None,     # (Q, N) bool/int8 — True/1 = exclude
 ):
     """Exact twophase MIPS with a fused Pallas pass 1.
 
@@ -183,8 +194,12 @@ def mips_topk_fused(
     winning 128-wide chunks per query, and finishes with a tiny top-k — exact
     by chunk containment (ops/topk.py::twophase_select docstring). HBM
     traffic ≈ one score write + k·128 re-reads/query, vs write + full re-read
-    for the XLA twophase. No exclusion-mask support (batch serving path);
-    masked retrieval uses ops/topk.py.
+    for the XLA twophase.
+
+    ``exclude_mask`` streams per-tile int8 exclusion blocks through the kernel
+    (train-seen filtering, reference recommend.py:48-50) — build it ON DEVICE
+    from index pairs via :func:`ops.topk.seen_mask_from_pairs` so the (Q, N)
+    bool never materializes on host (VERDICT r4 item 5).
     """
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
@@ -201,18 +216,29 @@ def mips_topk_fused(
     nqp, np_ = nq + qpad, n + npad
     ncp = np_ // CHUNK
 
+    has_mask = exclude_mask is not None
+    in_specs = [
+        pl.BlockSpec((q_tile, d), lambda i, j, n_ref: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tile, d), lambda i, j, n_ref: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(n, jnp.int32).reshape(1), q, c]
+    if has_mask:
+        m8 = exclude_mask.astype(jnp.int8)
+        m8 = jnp.pad(m8, ((0, qpad), (0, npad)))
+        in_specs.append(pl.BlockSpec((q_tile, n_tile),
+                                     lambda i, j, n_ref: (i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(m8)
+
     s, cm = pl.pallas_call(
-        _score_chunkmax_kernel,
+        functools.partial(_score_chunkmax_kernel, has_mask=has_mask),
         interpret=(jax.default_backend() == "cpu"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nqp // q_tile, np_ // n_tile),
-            in_specs=[
-                pl.BlockSpec((q_tile, d), lambda i, j, n_ref: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_tile, d), lambda i, j, n_ref: (j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((q_tile, n_tile), lambda i, j, n_ref: (i, j),
                              memory_space=pltpu.VMEM),
@@ -228,10 +254,10 @@ def mips_topk_fused(
         cost_estimate=pl.CostEstimate(
             flops=2 * nqp * np_ * d,
             bytes_accessed=(np_ * d + nqp * d) * 2
-            + nqp * (np_ + ncp) * 2,
+            + nqp * (np_ + ncp) * 2 + (nqp * np_ if has_mask else 0),
             transcendentals=0,
         ),
-    )(jnp.asarray(n, jnp.int32).reshape(1), q, c)
+    )(*args)
 
     kc = min(k, ncp)
     _, ci = jax.lax.top_k(cm.T, kc)                       # winning chunks

@@ -350,10 +350,11 @@ def spmm_chunked_ell(ell: ChunkedEll, emb: jax.Array,
         nbr = ell.nbr[i * (c // s):(i + 1) * (c // s)]
         w = ell.w[i * (c // s):(i + 1) * (c // s)]
         g = emb_pad[nbr]                             # (c/s, W, d)
-        # f32 combine regardless of the (possibly bf16) gather dtype: the
-        # W-wide chunk reduce and the per-node segment sum accumulate in f32,
-        # so a bf16 ``emb`` only rounds the gathered operands
-        outs.append(jnp.einsum("cw,cwd->cd", w.astype(emb.dtype), g,
+        # f32 combine regardless of the (possibly bf16) gather dtype: weights
+        # STAY f32 (ADVICE r4 — w.astype(emb.dtype) silently rounded them),
+        # so a bf16 ``emb`` only rounds the gathered operands; the products
+        # promote to f32 and the W-reduce + segment sum accumulate in f32
+        outs.append(jnp.einsum("cw,cwd->cd", w.astype(jnp.float32), g,
                                preferred_element_type=jnp.float32))
     red = jnp.concatenate(outs, axis=0)              # (C, d) f32
     return jax.ops.segment_sum(red, ell.dst, num_segments=ell.num_nodes,

@@ -87,15 +87,30 @@ def mips_topk(
         raise ValueError("score_dtype is not supported with method='pallas' "
                          "(the kernel fixes its own compute dtype)")
     if method == "fused":
-        if exclude_mask is not None:
-            raise ValueError("method='fused' is the unmasked batch-serving "
-                             "lane; masked retrieval uses 'twophase'")
+        # loud rejection of knobs this lane does not honor (ADVICE r4: they
+        # were silently ignored): block/recall_target/max_flat_bytes tune the
+        # blocked/flat/auto paths only
+        if block is not None:
+            raise ValueError("method='fused' tiles internally (q_tile/n_tile "
+                             "of ops.pallas_mips.mips_topk_fused); 'block' "
+                             "applies to the blocked/pallas paths only")
+        if recall_target != 1.0:
+            raise ValueError("method='fused' is exact; recall_target applies "
+                             "to method='flat' only")
         from .pallas_mips import mips_topk_fused
 
+        if exclude_mask is not None:
+            return mips_topk_fused(query, catalog, k=k, normalize=normalize,
+                                   score_dtype=score_dtype or jnp.bfloat16,
+                                   exclude_mask=exclude_mask)
         return mips_topk_fused(query, catalog, k=k, normalize=normalize,
                                score_dtype=score_dtype or jnp.bfloat16)
     q = normalize_embedding(query) if normalize else query
     c = normalize_embedding(catalog) if normalize else catalog
+    if exclude_mask is not None:
+        # accept bool OR int8 (seen_mask_from_pairs) — the blocked path's
+        # ``~excl`` needs real booleans
+        exclude_mask = exclude_mask.astype(jnp.bool_)
     if score_dtype is not None:
         q = q.astype(score_dtype)
         c = c.astype(score_dtype)
@@ -197,6 +212,18 @@ def twophase_select(s: jax.Array, k: int, ch: int = 128
     vs, vi = jax.lax.top_k(sel.reshape(nq_, kc * ch), k)
     chunk = jnp.take_along_axis(ci, vi // ch, axis=1)
     return vs, chunk * ch + vi % ch
+
+
+@partial(jax.jit, static_argnames=("num_rows", "num_cols"))
+def seen_mask_from_pairs(rows: jax.Array, cols: jax.Array,
+                         num_rows: int, num_cols: int) -> jax.Array:
+    """(num_rows, num_cols) int8 exclusion mask built ON DEVICE from flat
+    (row, col) index pairs — the train-seen filter of reference
+    recommend.py:48-50 without ever materializing the bool matrix on host.
+    Padding pairs use ``row == num_rows``: they land in a sentinel row that is
+    sliced off (same trick as training/evaluate.py's device-built masks)."""
+    m = jnp.zeros((num_rows + 1, num_cols), jnp.int8)
+    return m.at[rows, jnp.clip(cols, 0, num_cols - 1)].set(1)[:num_rows]
 
 
 def merge_topk(

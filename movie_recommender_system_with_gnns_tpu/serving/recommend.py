@@ -176,20 +176,92 @@ def batch_recommend_users(
     exclude_mask: Optional[np.ndarray] = None,   # (B, num_items) bool
     top_k: int = 10,
     normalize: bool = True,
+    exclude_pairs=None,     # CSR (indptr (B+1,), items (P,)) — device-built mask
+    score_dtype: Optional[str] = None,
+    method: Optional[str] = None,
+    max_flat_bytes: int = 512 * 1024 * 1024,
 ):
     """Batched retrieval for many users at once — the production serving shape
     the reference lacks (it scores one user per call). Returns (scores, item
     indices), both (B, k).
 
-    Unmasked batches on TPU take the fused Pallas twophase lane (~1.0M qps at
-    32K queries, ops/pallas_mips.py::mips_topk_fused); masked batches use the
-    exact XLA twophase with in-kernel −inf exclusion."""
+    On TPU, batches take the fused Pallas twophase lane (~1.0M qps at 32K
+    queries, ops/pallas_mips.py::mips_topk_fused) — masked batches too: pass
+    ``exclude_pairs`` as a CSR (indptr, items) over the batch rows and the
+    (chunk, num_items) int8 exclusion mask is built ON DEVICE
+    (ops.topk.seen_mask_from_pairs) and streamed tile-by-tile through the
+    kernel, so the (B, N) bool never materializes on host (train-seen
+    semantics of reference recommend.py:48-50).
+
+    Size gating (ADVICE r4): batches whose score matrix would exceed
+    ``max_flat_bytes`` are CHUNKED along the query axis — every chunk still
+    rides the fast lane, and an all-users ML-25M batch (~19 GB flat) neither
+    OOMs nor falls off a cliff. ``score_dtype`` plumbs through: default is
+    the bf16 fused lane on TPU / exact f32 elsewhere; pass "float32" (with
+    ``method=None`` or "twophase") for f32 oracle parity on near-ties.
+    """
     import jax
 
-    query = params.user_emb[jnp.asarray(user_indices)]
-    if exclude_mask is None and jax.default_backend() != "cpu":
-        return mips_topk(query, params.item_emb, k=top_k, method="fused",
-                         normalize=normalize)
-    mask = jnp.asarray(exclude_mask) if exclude_mask is not None else None
-    return mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask,
-                     normalize=normalize)
+    num_items = params.item_emb.shape[0]
+    nq = int(np.asarray(user_indices).shape[0])
+    on_tpu = jax.default_backend() != "cpu"
+    if method is None:
+        method = "fused" if on_tpu else "auto"
+    eff_dtype = (score_dtype if score_dtype is not None
+                 else ("bfloat16" if method == "fused" else None))
+    itemsize = jnp.dtype(eff_dtype or "float32").itemsize
+    # chunk queries so one chunk's (chunk, N) score matrix (+int8 mask) fits
+    chunk = nq
+    per_row = num_items * (itemsize + (1 if (exclude_mask is not None
+                                             or exclude_pairs is not None)
+                                       else 0))
+    if nq * per_row > max_flat_bytes:
+        chunk = max(512, (max_flat_bytes // per_row) // 512 * 512)
+
+    if exclude_pairs is not None and exclude_mask is not None:
+        raise ValueError("pass exclude_mask OR exclude_pairs, not both")
+    indptr = items = None
+    if exclude_pairs is not None:
+        indptr, items = (np.asarray(exclude_pairs[0]),
+                         np.asarray(exclude_pairs[1]))
+        if indptr.shape[0] != nq + 1:
+            raise ValueError(f"exclude_pairs indptr must have B+1={nq + 1} "
+                             f"entries, got {indptr.shape[0]}")
+
+    from ..ops.topk import seen_mask_from_pairs
+
+    user_indices = np.asarray(user_indices)
+    out_s, out_i = [], []
+    for lo in range(0, nq, chunk):
+        hi = min(lo + chunk, nq)
+        b = hi - lo
+        idx = user_indices[lo:hi]
+        if b < chunk:   # pad tail chunk to the compiled static width
+            idx = np.concatenate([idx, np.repeat(idx[-1:], chunk - b)])
+        query = params.user_emb[jnp.asarray(idx)]
+        mask = None
+        if exclude_mask is not None:
+            mask = jnp.asarray(exclude_mask[lo:hi])
+            if b < chunk:
+                mask = jnp.pad(mask, ((0, chunk - b), (0, 0)))
+        elif indptr is not None:
+            lens = indptr[lo + 1:hi + 1] - indptr[lo:hi]
+            rows = np.repeat(np.arange(b, dtype=np.int32), lens)
+            cols = items[indptr[lo]:indptr[hi]].astype(np.int32)
+            # pad pairs into the sentinel row so the pair width is stable
+            # across chunks (bounds recompiles)
+            p = int(rows.shape[0])
+            p_pad = max(1 << (max(p - 1, 0)).bit_length(), 1024)
+            rows = np.concatenate(
+                [rows, np.full(p_pad - p, chunk, np.int32)])
+            cols = np.concatenate([cols, np.zeros(p_pad - p, np.int32)])
+            mask = seen_mask_from_pairs(jnp.asarray(rows), jnp.asarray(cols),
+                                        num_rows=chunk, num_cols=num_items)
+        s, i = mips_topk(query, params.item_emb, k=top_k, exclude_mask=mask,
+                         method=method, normalize=normalize,
+                         score_dtype=score_dtype)
+        out_s.append(s[:b])
+        out_i.append(i[:b])
+    if len(out_s) == 1:
+        return out_s[0], out_i[0]
+    return jnp.concatenate(out_s, axis=0), jnp.concatenate(out_i, axis=0)

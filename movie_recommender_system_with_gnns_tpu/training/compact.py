@@ -586,20 +586,42 @@ def _lazy_row_update(table, mu, nu, rows, g_rows, valid, lr_t, b1, b2, eps, scal
     )
 
 
-def _require_constant_lr(cfg: Config, who: str) -> None:
-    if cfg.train.lr_schedule != "constant":
+def _make_lr_schedule(cfg: Config):
+    """jnp replica of training.train.make_optimizer's lr law for the fused
+    lazy/hybrid Adam paths: ``lr_of(t)`` with t the 0-based optimizer step
+    (optax applies ``schedule(count)`` BEFORE incrementing count — matched
+    here so a recipe can hand one Adam state back and forth between
+    optimizer='adam' and the fused paths without a schedule phase shift).
+    Matches optax.warmup_cosine_decay_schedule piecewise-exactly."""
+    tc = cfg.train
+    if tc.lr_schedule == "constant":
+        return lambda t: tc.lr
+    if tc.lr_schedule != "cosine":
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+    if tc.lr_total_steps <= 0:
         raise ValueError(
-            f"{who} implements its own fused Adam update and supports only "
-            f"lr_schedule='constant' (got {cfg.train.lr_schedule!r}); use "
-            "optimizer='adam' for scheduled learning rates")
+            "lr_schedule='cosine' needs lr_total_steps > 0 "
+            "(set it to steps_per_epoch * epochs)")
+    warm, total = tc.lr_warmup_steps, tc.lr_total_steps
+    peak = tc.lr
+    init = 0.0 if warm > 0 else peak
+    end = peak * tc.lr_final_frac
+
+    def lr_of(t):
+        tt = t.astype(jnp.float32)
+        lr_warm = init + (peak - init) * tt / jnp.maximum(warm, 1)
+        frac = jnp.clip((tt - warm) / jnp.maximum(total - warm, 1), 0.0, 1.0)
+        lr_cos = end + 0.5 * (peak - end) * (1.0 + jnp.cos(jnp.pi * frac))
+        return jnp.where(tt < warm, lr_warm, lr_cos)
+
+    return lr_of
 
 
 def make_compact_lazy_epoch_fn(cfg: Config):
     """Fused epoch with lazy Adam: per step, only the cluster's gathered rows
     (users, items, and a deduplicated union with sampled negatives) move."""
-    _require_constant_lr(cfg, "lazy_adam")
+    lr_of = _make_lr_schedule(cfg)
     b1, b2, eps = cfg.train.adam_b1, cfg.train.adam_b2, cfg.train.adam_eps
-    lr = cfg.train.lr
     clip = cfg.train.grad_clip_norm
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -660,7 +682,8 @@ def make_compact_lazy_epoch_fn(cfg: Config):
             cscale = jnp.minimum(1.0, clip / jnp.maximum(gn_norm, 1e-6))
 
             cnt = ost.count + 1
-            lr_t = lr * jnp.sqrt(1.0 - b2**cnt.astype(jnp.float32)) / (
+            lr_t = lr_of(ost.count) * jnp.sqrt(
+                1.0 - b2**cnt.astype(jnp.float32)) / (
                 1.0 - b1**cnt.astype(jnp.float32))
 
             ue, mu_u, nu_u = _lazy_row_update(
@@ -696,9 +719,56 @@ def create_lazy_train_state(cfg: Config, params: LightGCNParams) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
-def make_compact_hybrid_epoch_fn(cfg: Config):
+def lazy_state_from_optax(opt_state) -> LazyAdamState:
+    """Extract (mu, nu, count) from any optax chain containing scale_by_adam.
+
+    The bridge recipe hands ONE Adam state back and forth between
+    optimizer='adam' epoch fns (optax chain: clip → adam) and the fused
+    lazy/hybrid paths (LazyAdamState) — moments are per-row and both sides
+    implement the same update law, so the conversion is a relabeling."""
+    for leaf in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)):
+        if isinstance(leaf, optax.ScaleByAdamState):
+            return LazyAdamState(mu=leaf.mu, nu=leaf.nu,
+                                 count=leaf.count.astype(jnp.int32))
+    raise ValueError("no ScaleByAdamState found in the optax state")
+
+
+def lazy_state_to_optax(lz: LazyAdamState, template):
+    """Write a LazyAdamState's (mu, nu, count) back into an optax state of the
+    make_optimizer shape (``template`` = ``opt.init(params)`` or a live
+    state). Schedule counts (ScaleByScheduleState) are synced to the same
+    step so a cosine recipe stays phase-aligned across trainer switches."""
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=lz.count.astype(node.count.dtype), mu=lz.mu, nu=lz.nu)
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=lz.count.astype(node.count.dtype))
+        if isinstance(node, tuple) and type(node) is not tuple:  # NamedTuple
+            return type(node)(*(walk(c) for c in node))
+        if isinstance(node, tuple):
+            return tuple(walk(c) for c in node)
+        return node
+
+    return walk(template)
+
+
+def make_compact_hybrid_epoch_fn(cfg: Config, lazy_items: bool = False):
     """Hybrid-Adam fused epoch: EXACT dense Adam on the item table, lazy
     (SparseAdam-style, see :func:`_lazy_row_update`) on the user table.
+
+    ``lazy_items=True`` (optimizer='lazy_item_adam', VERDICT r4 item 4) swaps
+    the dense item path for row-sparse item moments: the sorted
+    (negatives ‖ cluster items) keys are run-length-compressed on device
+    (first-occurrence mask + compressed segment sum), Adam runs on the summed
+    per-row grads in the optax form (bit-matching the dense path's update for
+    every TOUCHED row at equal moments), and the three item arrays take
+    masked scatter-ADDs instead of full dense sweeps. Trade vs dense:
+    untouched rows keep stale moments (no decay while idle — torch SparseAdam
+    semantics), in exchange for dropping the per-step (num_items, d) dense
+    gradient write + three-table sweep.
 
     Why this split wins on TPU (profiled at ML-25M scale, v5e):
 
@@ -728,9 +798,8 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
     on demand, so the 1.4 GB stacked dense adjacency is never re-gathered
     into permuted order (~8 ms/epoch saved).
     """
-    _require_constant_lr(cfg, "hybrid_adam")
+    lr_of = _make_lr_schedule(cfg)
     b1, b2, eps = cfg.train.adam_b1, cfg.train.adam_b2, cfg.train.adam_eps
-    lr = cfg.train.lr
     clip = cfg.train.grad_clip_norm
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -793,7 +862,7 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
             loss, (gu, gi, gn) = jax.value_and_grad(row_loss, argnums=(0, 1, 2))(
                 u_rows, i_rows, n_rows, cluster, neg, adj, corr, nrest)
 
-            # exact DENSE item gradient (duplicate negative rows sum — torch
+            # exact item gradient (duplicate negative rows sum — torch
             # autograd semantics). Negatives AND the cluster's positive-item
             # rows ride ONE sort + sorted segment-sum: the r3 version
             # scattered the positive rows separately via .at[item_ids].add,
@@ -808,26 +877,58 @@ def make_compact_hybrid_epoch_fn(cfg: Config):
                 [gn_flat, gi * item_valid[:, None].astype(gi.dtype)])
             idx_s, a = jax.lax.sort_key_val(
                 all_idx, jnp.arange(all_idx.shape[0], dtype=jnp.int32))
-            gi_dense = jax.ops.segment_sum(all_val[a], idx_s,
-                                           num_segments=num_items,
-                                           indices_are_sorted=True)
-            # user rows are unique per cluster, so the masked row norm equals
-            # the dense user-grad norm exactly — clip semantics preserved
-            gn_norm = jnp.sqrt(jnp.sum(gu**2) + jnp.sum(gi_dense**2))
+            if lazy_items:
+                # run-length-compress duplicate keys: the summed per-row grad
+                # lands at each run's FIRST position, everything else masked
+                val_s = all_val[a]
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool), idx_s[1:] != idx_s[:-1]])
+                seg = jnp.cumsum(first) - 1
+                summed = jax.ops.segment_sum(val_s, seg,
+                                             num_segments=idx_s.shape[0],
+                                             indices_are_sorted=True)
+                g_rows = summed[seg] * first[:, None].astype(summed.dtype)
+                gn_norm = jnp.sqrt(jnp.sum(gu**2) + jnp.sum(g_rows**2))
+            else:
+                gi_dense = jax.ops.segment_sum(all_val[a], idx_s,
+                                               num_segments=num_items,
+                                               indices_are_sorted=True)
+                # user rows are unique per cluster, so the masked row norm
+                # equals the dense user-grad norm exactly — clip preserved
+                gn_norm = jnp.sqrt(jnp.sum(gu**2) + jnp.sum(gi_dense**2))
             cscale = jnp.minimum(1.0, clip / jnp.maximum(gn_norm, 1e-6))
 
+            lr = lr_of(cnt)            # optax convention: schedule(count) pre-increment
             cnt = cnt + 1
             tf = cnt.astype(jnp.float32)
 
-            # item table: textbook dense Adam (one fused three-table sweep);
-            # bias correction in the optax/torch form (eps OUTSIDE the
-            # corrected sqrt) so the item table matches optax.adam bit-for-bit
-            g = gi_dense * cscale
-            mu_i = b1 * mu_i + (1.0 - b1) * g
-            nu_i = b2 * nu_i + (1.0 - b2) * (g * g)
-            mhat = mu_i / (1.0 - b1**tf)
-            vhat = nu_i / (1.0 - b2**tf)
-            item_emb = item_emb - lr * mhat / (jnp.sqrt(vhat) + eps)
+            if lazy_items:
+                # optax-form Adam on the TOUCHED rows only (bit-matches the
+                # dense branch's update at equal moments); masked scatter-adds
+                # replace the three dense sweeps
+                g = g_rows * cscale
+                m_old = mu_i[idx_s]
+                v_old = nu_i[idx_s]
+                m_new = b1 * m_old + (1.0 - b1) * g
+                v_new = b2 * v_old + (1.0 - b2) * (g * g)
+                mhat = m_new / (1.0 - b1**tf)
+                vhat = v_new / (1.0 - b2**tf)
+                upd = -lr * mhat / (jnp.sqrt(vhat) + eps)
+                fm = first[:, None].astype(item_emb.dtype)
+                item_emb = item_emb.at[idx_s].add(upd * fm)
+                mu_i = mu_i.at[idx_s].add((m_new - m_old) * fm)
+                nu_i = nu_i.at[idx_s].add((v_new - v_old) * fm)
+            else:
+                # item table: textbook dense Adam (one fused three-table
+                # sweep); bias correction in the optax/torch form (eps
+                # OUTSIDE the corrected sqrt) so the item table matches
+                # optax.adam bit-for-bit
+                g = gi_dense * cscale
+                mu_i = b1 * mu_i + (1.0 - b1) * g
+                nu_i = b2 * nu_i + (1.0 - b2) * (g * g)
+                mhat = mu_i / (1.0 - b1**tf)
+                vhat = nu_i / (1.0 - b2**tf)
+                item_emb = item_emb - lr * mhat / (jnp.sqrt(vhat) + eps)
 
             # user block: lazy Adam on this cluster's rows, pure elementwise
             # (write-back deferred to the one epoch-end scatter)
@@ -879,6 +980,8 @@ def make_compact_epoch_fn(cfg: Config):
         return make_compact_lazy_epoch_fn(cfg)
     if cfg.train.optimizer == "hybrid_adam":
         return make_compact_hybrid_epoch_fn(cfg)
+    if cfg.train.optimizer == "lazy_item_adam":
+        return make_compact_hybrid_epoch_fn(cfg, lazy_items=True)
     opt = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))

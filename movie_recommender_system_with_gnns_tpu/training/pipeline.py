@@ -128,10 +128,10 @@ def prepare_training_data(
             f"compact trainers; trainer={cfg.train.trainer!r} draws the "
             "reference's uniform negatives (helpers.py:79-80)", stacklevel=2)
 
-    if (cfg.train.optimizer == "hybrid_adam"
+    if (cfg.train.optimizer in ("hybrid_adam", "lazy_item_adam")
             and cfg.train.partitioner == "random_edges"):
         raise ValueError(
-            "optimizer='hybrid_adam' requires the greedy node partitioner: "
+            f"optimizer={cfg.train.optimizer!r} requires the greedy node partitioner: "
             "its once-per-epoch user-block gather/write-back assumes each "
             "user's edges live in exactly one cluster, which "
             "partitioner='random_edges' violates (a user spans many parts)")

@@ -434,7 +434,7 @@ def train_model(
     elif isinstance(clusters, CompactClusters):
         stacked = clusters
         epoch_fn = make_compact_epoch_fn(cfg)
-        if cfg.train.optimizer in ("lazy_adam", "hybrid_adam"):
+        if cfg.train.optimizer in ("lazy_adam", "hybrid_adam", "lazy_item_adam"):
             from .compact import LazyAdamState, init_lazy_adam
 
             if not isinstance(state.opt_state, LazyAdamState):

@@ -241,17 +241,94 @@ def test_hybrid_adam_trains(tiny_data):
     assert int(state.opt_state.count) == 5 * len(parts)
 
 
-def test_lazy_and_hybrid_reject_lr_schedule(tiny_data):
+def test_lazy_and_hybrid_lr_schedule_support(tiny_data):
+    """The fused paths now implement the cosine schedule in-kernel (r5:
+    enables hybrid-compact bridge epochs under one shared schedule).
+    Misconfiguration (no horizon) must still raise; the jnp schedule must
+    match optax.warmup_cosine_decay_schedule pointwise."""
+    import optax
+
     from movie_recommender_system_with_gnns_tpu.training.compact import (
-        make_compact_hybrid_epoch_fn, make_compact_lazy_epoch_fn,
+        _make_lr_schedule, make_compact_hybrid_epoch_fn,
+        make_compact_lazy_epoch_fn,
     )
 
     for maker, opt in ((make_compact_lazy_epoch_fn, "lazy_adam"),
                        (make_compact_hybrid_epoch_fn, "hybrid_adam")):
         cfg = Config(train=TrainConfig(optimizer=opt, lr_schedule="cosine",
-                                       lr_total_steps=10))
-        with pytest.raises(ValueError, match="lr_schedule"):
+                                       lr_total_steps=0))
+        with pytest.raises(ValueError, match="lr_total_steps"):
             maker(cfg)
+
+    for warm in (0, 7):
+        cfg = Config(train=TrainConfig(lr=3e-3, lr_schedule="cosine",
+                                       lr_total_steps=50, lr_warmup_steps=warm,
+                                       lr_final_frac=0.1))
+        lr_of = _make_lr_schedule(cfg)
+        ref = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warm > 0 else 3e-3, peak_value=3e-3,
+            warmup_steps=warm, decay_steps=50, end_value=3e-4)
+        for t in [0, 1, 6, 7, 8, 25, 49, 50, 60]:
+            np.testing.assert_allclose(
+                float(lr_of(jnp.asarray(t, jnp.int32))), float(ref(t)),
+                rtol=1e-5, atol=1e-9, err_msg=f"warm={warm} t={t}")
+
+
+def test_adam_state_conversion_roundtrip(tiny_data):
+    """optax ↔ LazyAdamState conversion (the bridge's trainer-switch glue):
+    roundtrip preserves moments/count, and a converted state keeps training
+    under the other trainer with finite decreasing loss."""
+    import optax
+
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        init_lazy_adam, lazy_state_from_optax, lazy_state_to_optax,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        make_optimizer,
+    )
+
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                 train=TrainConfig(lr=1e-2))
+    params = init_params(jax.random.PRNGKey(11), nu, ni, 8)
+    opt = make_optimizer(cfg)
+    ost = opt.init(params)
+    # push one real optax step so moments are nonzero
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, ost = opt.update(g, ost, params)
+
+    lz = lazy_state_from_optax(ost)
+    assert int(lz.count) == 1
+    template = jax.eval_shape(opt.init, params)
+    back = lazy_state_to_optax(lz, template)
+    for a, b in zip(jax.tree_util.tree_leaves(ost),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mini-bridge: adam epoch -> convert -> hybrid epoch -> convert back
+    parts = [p for p in partition_bipartite_greedy(
+        tiny_data.edge_index, nu, nu + ni, 2) if p.shape[1] > 0]
+    cc = build_compact_clusters(parts, nu, align=8)
+    cfg_a = Config(model=ModelConfig(num_layers=2, dim=8),
+                   train=TrainConfig(lr=1e-2, optimizer="adam"))
+    cfg_h = Config(model=ModelConfig(num_layers=2, dim=8),
+                   train=TrainConfig(lr=1e-2, optimizer="hybrid_adam"))
+    state = create_train_state(cfg_a, nu, ni)
+    fn_a = make_compact_epoch_fn(cfg_a)
+    fn_h = make_compact_epoch_fn(cfg_h)
+    state, l0 = fn_a(state, cc, jax.random.PRNGKey(0))
+    hstate = TrainState(state.params, lazy_state_from_optax(state.opt_state),
+                        state.step)
+    hstate, l1 = fn_h(hstate, cc, jax.random.PRNGKey(1))
+    back_state = TrainState(
+        hstate.params,
+        lazy_state_to_optax(hstate.opt_state,
+                            jax.eval_shape(make_optimizer(cfg_a).init,
+                                           hstate.params)),
+        hstate.step)
+    back_state, l2 = fn_a(back_state, cc, jax.random.PRNGKey(2))
+    assert np.isfinite([float(l0), float(l1), float(l2)]).all()
+    assert float(l2) < float(l0)
 
 
 def test_dense_adjacency_matches_segment(tiny_data):
@@ -444,3 +521,61 @@ def test_corrected_epoch_runs_all_optimizers(tiny_data):
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+def test_lazy_item_adam_first_step_matches_hybrid(tiny_data):
+    """lazy_item_adam's item update is the optax-form Adam on touched rows:
+    from zero moments, the FIRST optimizer step's item table must match
+    hybrid_adam's exactly (untouched rows have zero grad AND zero moments, so
+    dense Adam also leaves them unchanged); user paths are identical."""
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        init_lazy_adam,
+    )
+
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    parts = [p for p in partition_bipartite_greedy(tiny_data.edge_index, nu, n, 1)
+             if p.shape[1] > 0]          # ONE cluster -> epoch == one step
+    cc = build_compact_clusters(parts, nu, align=8)
+    outs = {}
+    for opt in ["hybrid_adam", "lazy_item_adam"]:
+        # rebuild per run: the epoch fn DONATES its state buffers
+        params = init_params(jax.random.PRNGKey(7), nu, ni, 8)
+        cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                     train=TrainConfig(lr=1e-2, optimizer=opt, num_clusters=1))
+        state = TrainState(params=params, opt_state=init_lazy_adam(params),
+                           step=jnp.zeros((), jnp.int32))
+        fn = make_compact_epoch_fn(cfg)
+        st, loss = fn(state, cc, jax.random.PRNGKey(4))
+        outs[opt] = (np.asarray(st.params.item_emb),
+                     np.asarray(st.params.user_emb), float(loss))
+    np.testing.assert_allclose(outs["lazy_item_adam"][0],
+                               outs["hybrid_adam"][0], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(outs["lazy_item_adam"][1],
+                               outs["hybrid_adam"][1], rtol=1e-6, atol=1e-7)
+    assert outs["lazy_item_adam"][2] == outs["hybrid_adam"][2]
+
+
+def test_lazy_item_adam_trains(tiny_data):
+    from movie_recommender_system_with_gnns_tpu.training.compact import (
+        init_lazy_adam,
+    )
+
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    parts = [p for p in partition_bipartite_greedy(tiny_data.edge_index, nu, n, 3)
+             if p.shape[1] > 0]
+    cc = build_compact_clusters(parts, nu, align=8)
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                 train=TrainConfig(lr=1e-2, optimizer="lazy_item_adam"))
+    params = init_params(jax.random.PRNGKey(8), nu, ni, 8)
+    state = TrainState(params=params, opt_state=init_lazy_adam(params),
+                       step=jnp.zeros((), jnp.int32))
+    fn = make_compact_epoch_fn(cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        state, loss = fn(state, cc, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

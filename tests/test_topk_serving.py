@@ -115,10 +115,10 @@ def test_mips_topk_fused_matches_twophase(rng):
     s_f, i_f = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, method="fused")
     ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
     assert set(np.asarray(i_f)[0]) == set(np.argsort(-ref, axis=1)[0, :10])
-    # masked retrieval must refuse the unmasked fused lane loudly
-    with pytest.raises(ValueError):
-        mips_topk(jnp.asarray(q), jnp.asarray(c), k=5, method="fused",
-                  exclude_mask=jnp.zeros((2, 1024), bool))
+    # masked fused lane (r5): an all-False mask must not change the result
+    s_m, i_m = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, method="fused",
+                         exclude_mask=jnp.zeros((2, 1024), bool))
+    np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_f))
 
 
 def test_mips_topk_nondivisible_block(rng):
@@ -220,3 +220,84 @@ def test_serving_tables_chunked_matches_plain(tiny_data):
     _, idx_cos_scaled = batch_recommend_users(p3, uidx, top_k=3, normalize=True)
     np.testing.assert_array_equal(np.asarray(idx_cos),
                                   np.asarray(idx_cos_scaled))
+
+
+def test_mips_fused_masked_matches_xla_masked_twophase(rng):
+    """Masked fused lane (VERDICT r4 item 5) must be bit-exact vs the XLA
+    masked twophase at the same score dtype."""
+    q = rng.standard_normal((40, 16)).astype(np.float32)
+    c = rng.standard_normal((700, 16)).astype(np.float32)
+    mask = rng.random((40, 700)) < 0.1
+    # ban each query's top item too (the adversarial case exclusion exists for)
+    ref = np.asarray(full_sort_scores(jnp.asarray(q), jnp.asarray(c)))
+    mask[np.arange(40), ref.argmax(1)] = True
+    mj = jnp.asarray(mask)
+    for sd in ["bfloat16", "float32"]:
+        s_f, i_f = mips_topk(jnp.asarray(q), jnp.asarray(c), k=7,
+                             exclude_mask=mj, method="fused", score_dtype=sd)
+        s_x, i_x = mips_topk(jnp.asarray(q), jnp.asarray(c), k=7,
+                             exclude_mask=mj, method="twophase",
+                             score_dtype=sd)
+        np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_x))
+        # ties within rounding may order; verify by score equality above and
+        # bannedness below
+        for r in range(40):
+            assert not mask[r][np.asarray(i_f)[r]].any()
+
+
+def test_seen_mask_from_pairs_matches_dense():
+    from movie_recommender_system_with_gnns_tpu.ops.topk import (
+        seen_mask_from_pairs,
+    )
+
+    rows = jnp.asarray(np.array([0, 0, 2, 3, 4, 4, 4], np.int32))
+    cols = jnp.asarray(np.array([1, 5, 3, 0, 2, 2, 6], np.int32))
+    m = np.asarray(seen_mask_from_pairs(rows, cols, num_rows=4, num_cols=7))
+    ref = np.zeros((4, 7), np.int8)
+    ref[0, 1] = ref[0, 5] = ref[2, 3] = ref[3, 0] = 1   # row 4 = sentinel
+    np.testing.assert_array_equal(m, ref)
+
+
+def test_batch_recommend_users_pairs_and_chunking(rng):
+    """exclude_pairs CSR path == dense-mask path; oversize batches chunk
+    through without materializing the flat score matrix (ADVICE r4 medium)."""
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        batch_recommend_users,
+    )
+
+    nu, ni, d = 90, 120, 8
+    params = LightGCNParams(
+        user_emb=jnp.asarray(rng.standard_normal((nu, d)).astype(np.float32)),
+        item_emb=jnp.asarray(rng.standard_normal((ni, d)).astype(np.float32)))
+    users = np.arange(nu)
+    # CSR exclusions: each user bans a few items
+    lens = rng.integers(0, 5, nu)
+    indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    items = rng.integers(0, ni, indptr[-1]).astype(np.int64)
+    dense = np.zeros((nu, ni), bool)
+    for u in range(nu):
+        dense[u, items[indptr[u]:indptr[u + 1]]] = True
+
+    s_a, i_a = batch_recommend_users(params, users, exclude_mask=dense, top_k=5)
+    s_b, i_b = batch_recommend_users(params, users,
+                                     exclude_pairs=(indptr, items), top_k=5)
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b),
+                               rtol=1e-6, atol=1e-7)
+    for u in range(nu):
+        assert not dense[u][np.asarray(i_b)[u]].any()
+
+    # force chunking (tiny max_flat_bytes): results must not change
+    s_c, i_c = batch_recommend_users(params, users,
+                                     exclude_pairs=(indptr, items), top_k=5,
+                                     max_flat_bytes=int(600 * ni * 4 / 4))
+    np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_c),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_c))
+
+    # fused-lane knob rejection (ADVICE r4 low)
+    with pytest.raises(ValueError):
+        mips_topk(params.user_emb[:4], params.item_emb, k=3, method="fused",
+                  block=64)
+    with pytest.raises(ValueError):
+        mips_topk(params.user_emb[:4], params.item_emb, k=3, method="fused",
+                  recall_target=0.9)
