@@ -500,6 +500,38 @@ def bench_serving(data, scale, nq=32768, iters=8, q_tile=512, n_tile=2048):
     util = {f"mips_{k_}": v for k_, v in utilization(flops, bytes_acc, best).items()}
     sys.stderr.write(f"[bench] mips fused-bf16 flat batch {nq}: "
                      f"{best*1e3:.2f} ms/dispatch -> {util}\n")
+
+    # MASKED lane (VERDICT r4 item 5): the production serving shape — the
+    # REAL train-seen exclusion sets of the dataset, held as ServingIndex's
+    # bit-packed (U, N/8) device mask (built once per model refresh, ~1.2 GB
+    # at ML-25M). Each dispatch pays the per-batch row gather + bit unpack +
+    # the int8-tile-streaming fused kernel; the mask build amortizes to zero
+    # across a refresh's dispatches (serving/recommend.py::ServingIndex).
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        ServingIndex,
+    )
+
+    users = np.arange(nq, dtype=np.int32)
+    t0 = time.time()
+    sidx = ServingIndex.build(params, data.edge_index, data.num_users)
+    sidx.mask.block_until_ready()
+    t_build = time.time() - t0
+    s, i = sidx.batch_recommend(users, top_k=10)
+    float(s[0, 0])
+    best_m = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            s, i = sidx.batch_recommend(users, top_k=10)
+        float(s[0, 0])
+        best_m = min(best_m, (time.time() - t0) / iters)
+    sys.stderr.write(f"[bench] mips fused MASKED batch {nq} (real train-seen "
+                     f"sets, tile-bit-packed full-base ServingIndex "
+                     f"{tuple(sidx.mask.shape)} uint8 built once in "
+                     f"{t_build:.1f}s): {best_m*1e3:.2f} ms/dispatch -> "
+                     f"{nq/best_m:.0f} qps\n")
+    util["serving_qps_masked"] = round(nq / best_m)
+    del sidx, s, i
     return nq / best, util, "pallas-fused-twophase-bf16"
 
 
@@ -645,6 +677,7 @@ def main():
         "vs_baseline": round(baseline_s / epoch_s, 2) if baseline_s else None,
         "edges_per_s": round(edges / epoch_s),
         "serving_qps_top10": round(serving_qps),
+        "serving_qps_masked": mips_util.get("serving_qps_masked"),
         # utilization vs device peak (bf16 matmul FLOP/s, HBM B/s). The train
         # epoch is row-op/HBM-bound by design (Adam table updates + gathers),
         # so hbm_util is the meaningful number; MIPS is the MXU showcase.

@@ -137,7 +137,8 @@ def mips_topk_pallas(
 CHUNK = 128   # twophase chunk width == one VREG lane group
 
 
-def _score_chunkmax_kernel(n_ref, q_ref, c_ref, *rest, has_mask: bool):
+def _score_chunkmax_kernel(n_ref, q_ref, c_ref, *rest, has_mask: bool,
+                           packed_mask: bool = False):
     """Fused pass 1 of the exact twophase MIPS: one (QT, NT) score tile on the
     MXU, pad-column masking, bf16 store, and the tile's 128-lane chunk maxima
     — all while the tile is VMEM-resident. Replaces the XLA twophase's
@@ -164,7 +165,20 @@ def _score_chunkmax_kernel(n_ref, q_ref, c_ref, *rest, has_mask: bool):
     qt, nt = s.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (qt, nt), 1) + j * nt
     s = jnp.where(col < n_ref[0], s, NEG_INF)
-    if m_ref is not None:
+    if m_ref is not None and packed_mask:
+        # stride-(nt/8) bit layout (ops/topk.py::pack_mask_tiles): byte
+        # b of the (QT, nt/8) tile holds the bits of columns b, b+nt/8,
+        # b+2·nt/8, …, so a lane-concat repeat (pltpu.repeat = np.tile)
+        # aligns byte n % (nt/8) under lane n and the bit index is a pure
+        # function of the lane: n // (nt/8). Whole unpack = repeat + widen +
+        # shift + and, all VPU, no HBM intermediates (the point: the packed
+        # serving mask is 8× smaller than int8 and 32× smaller than bool).
+        nb = nt // 8
+        rep = pltpu.repeat(m_ref[:], 8, axis=1).astype(jnp.int32)  # (QT, nt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, nt), 1)
+        bit = (rep >> (lane // nb)) & 1
+        s = jnp.where(bit != 0, NEG_INF, s)
+    elif m_ref is not None:
         s = jnp.where(m_ref[:] != 0, NEG_INF, s)
     sb = s.astype(s_ref.dtype)
     s_ref[:] = sb
@@ -185,7 +199,9 @@ def mips_topk_fused(
     n_tile: int = 2048,
     normalize: bool = True,
     score_dtype=jnp.bfloat16,
-    exclude_mask=None,     # (Q, N) bool/int8 — True/1 = exclude
+    exclude_mask=None,         # (Q, N) bool/int8 — True/1 = exclude
+    exclude_mask_packed=None,  # (Q, n_tiles·n_tile/8) uint8, tile-bit layout
+                               # (ops/topk.py::pack_mask_tiles) — 8× smaller
 ):
     """Exact twophase MIPS with a fused Pallas pass 1.
 
@@ -216,7 +232,10 @@ def mips_topk_fused(
     nqp, np_ = nq + qpad, n + npad
     ncp = np_ // CHUNK
 
-    has_mask = exclude_mask is not None
+    if exclude_mask is not None and exclude_mask_packed is not None:
+        raise ValueError("pass exclude_mask OR exclude_mask_packed, not both")
+    has_mask = exclude_mask is not None or exclude_mask_packed is not None
+    packed_mask = exclude_mask_packed is not None
     in_specs = [
         pl.BlockSpec((q_tile, d), lambda i, j, n_ref: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -224,16 +243,32 @@ def mips_topk_fused(
                      memory_space=pltpu.VMEM),
     ]
     args = [jnp.asarray(n, jnp.int32).reshape(1), q, c]
-    if has_mask:
+    if packed_mask:
+        mp = exclude_mask_packed
+        if mp.shape[1] != np_ // 8:
+            raise ValueError(
+                f"packed mask width {mp.shape[1]} != padded catalog/8 "
+                f"{np_ // 8} — pack with pack_mask_tiles(num_items={n}, "
+                f"n_tile={n_tile})")
+        if qpad:
+            mp = jnp.pad(mp, ((0, qpad), (0, 0)))
+        in_specs.append(pl.BlockSpec((q_tile, n_tile // 8),
+                                     lambda i, j, n_ref: (i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(mp)
+    elif has_mask:
         m8 = exclude_mask.astype(jnp.int8)
-        m8 = jnp.pad(m8, ((0, qpad), (0, npad)))
+        if m8.shape != (nqp, np_):
+            # accept pre-padded masks (no big pad copy per dispatch)
+            m8 = jnp.pad(m8, ((0, nqp - m8.shape[0]), (0, np_ - m8.shape[1])))
         in_specs.append(pl.BlockSpec((q_tile, n_tile),
                                      lambda i, j, n_ref: (i, j),
                                      memory_space=pltpu.VMEM))
         args.append(m8)
 
     s, cm = pl.pallas_call(
-        functools.partial(_score_chunkmax_kernel, has_mask=has_mask),
+        functools.partial(_score_chunkmax_kernel, has_mask=has_mask,
+                          packed_mask=packed_mask),
         interpret=(jax.default_backend() == "cpu"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

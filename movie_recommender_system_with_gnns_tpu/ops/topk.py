@@ -214,6 +214,30 @@ def twophase_select(s: jax.Array, k: int, ch: int = 128
     return vs, chunk * ch + vi % ch
 
 
+@partial(jax.jit, static_argnames=("num_rows", "num_items", "n_tile"))
+def pack_mask_tiles(rows: jax.Array, cols: jax.Array, num_rows: int,
+                    num_items: int, n_tile: int = 2048) -> jax.Array:
+    """Tile-bit-packed exclusion mask for the fused MIPS kernel's
+    ``exclude_mask_packed`` lane: (num_rows, ⌈N/n_tile⌉·n_tile/8) uint8, 8×
+    smaller than int8 and unpackable in-kernel with a lane-concat repeat +
+    shift (ops/pallas_mips.py::_score_chunkmax_kernel).
+
+    Layout: within each n_tile-column tile, byte b holds the bits of columns
+    b, b+n_tile/8, …, b+7·n_tile/8 (bit index = column // (n_tile/8)).
+    (row, col) pairs must be DISTINCT — each (row, byte, bit) then appears
+    once, so the uint8 scatter-ADD is exactly a bitwise OR. Padding pairs
+    use ``row == num_rows`` (sentinel row, sliced off)."""
+    nb = n_tile // 8
+    ntiles = -(-num_items // n_tile)
+    cols = jnp.clip(cols, 0, num_items - 1)
+    within = cols % n_tile
+    byte = (cols // n_tile) * nb + within % nb
+    bit = (within // nb).astype(jnp.uint8)
+    m = jnp.zeros((num_rows + 1, ntiles * nb), jnp.uint8)
+    return m.at[rows, byte].add(
+        (jnp.ones((), jnp.uint8) << bit).astype(jnp.uint8))[:num_rows]
+
+
 @partial(jax.jit, static_argnames=("num_rows", "num_cols"))
 def seen_mask_from_pairs(rows: jax.Array, cols: jax.Array,
                          num_rows: int, num_cols: int) -> jax.Array:
@@ -224,6 +248,58 @@ def seen_mask_from_pairs(rows: jax.Array, cols: jax.Array,
     sliced off (same trick as training/evaluate.py's device-built masks)."""
     m = jnp.zeros((num_rows + 1, num_cols), jnp.int8)
     return m.at[rows, jnp.clip(cols, 0, num_cols - 1)].set(1)[:num_rows]
+
+
+@partial(jax.jit, static_argnames=("k", "normalize", "score_dtype"))
+def mips_topk_postfilter(
+    query: jax.Array,        # (Q, d)
+    catalog: jax.Array,      # (N, d)
+    excl: jax.Array,         # (Q, L) int32 excluded ids, padded with -1
+    k: int = 10,
+    normalize: bool = True,
+    score_dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked retrieval as retrieve-then-filter: top-(k+L) through the fused
+    unmasked lane, then drop each query's excluded candidates.
+
+    EXACT whenever each user's exclusion list fits in L entries (the padded
+    width of ``excl``): at most L of the k+L unmasked winners can be excluded,
+    so the top-k survivors are the true masked top-k. This sidesteps the
+    (Q, N) exclusion mask entirely — the r5 masked-fused lane measured its
+    per-pair mask scatter at ~95 ms for 32K×64 exclusions (TPU scatter pays
+    per-element at byte granularity), while the candidate filter is a
+    (Q, k+L, L) VPU compare over device-resident winners. Train-seen
+    semantics of reference recommend.py:48-50 preserved.
+    """
+    from .pallas_mips import mips_topk_fused
+
+    l_pad = excl.shape[1]
+    s, i = mips_topk_fused(query, catalog, k=k + l_pad, normalize=normalize,
+                           score_dtype=score_dtype or jnp.bfloat16)
+    hit = (i[:, :, None] == excl[:, None, :]).any(axis=-1)   # (Q, k+L)
+    s = jnp.where(hit, NEG_INF, s)
+    vs, pos = jax.lax.top_k(s, k)
+    return vs, jnp.take_along_axis(i, pos, axis=1)
+
+
+def excl_matrix_from_pairs(indptr: "np.ndarray", items: "np.ndarray",
+                           l_pad: int):
+    """(Q, l_pad) int32 exclusion matrix (−1 padded) from a CSR exclusion
+    list — host-side prep for :func:`mips_topk_postfilter`. Raises if any
+    row exceeds ``l_pad`` (the exactness bound)."""
+    import numpy as np
+
+    q = indptr.shape[0] - 1
+    lens = np.diff(indptr)
+    if lens.max(initial=0) > l_pad:
+        raise ValueError(f"exclusion list of {int(lens.max())} entries "
+                         f"exceeds l_pad={l_pad}; raise l_pad or use the "
+                         "masked twophase")
+    out = np.full((q, l_pad), -1, np.int32)
+    rows = np.repeat(np.arange(q), lens)
+    cols = (np.arange(items.shape[0]) - np.repeat(indptr[:-1], lens))
+    out[rows, cols] = items
+    return out
 
 
 def merge_topk(

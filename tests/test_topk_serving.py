@@ -301,3 +301,57 @@ def test_batch_recommend_users_pairs_and_chunking(rng):
     with pytest.raises(ValueError):
         mips_topk(params.user_emb[:4], params.item_emb, k=3, method="fused",
                   recall_target=0.9)
+
+
+def test_serving_index_matches_masked_oracle(tiny_data):
+    """ServingIndex (bit-packed persistent train-seen mask, r5) must produce
+    exactly the masked twophase-bf16 results."""
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.serving.recommend import (
+        ServingIndex,
+    )
+
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    params = init_params(jax.random.PRNGKey(0), nu, ni, 16)
+    idx = ServingIndex.build(params, tiny_data.edge_index, nu)
+    users = np.arange(0, nu, 3)
+    s, i = idx.batch_recommend(users, top_k=7)
+    assert s.shape == (users.size, 7)
+
+    # oracle: dense mask + twophase at the same score dtype
+    head, tail = tiny_data.edge_index[0], tiny_data.edge_index[1]
+    fwd = (head < nu) & (tail >= nu)
+    mask = np.zeros((nu, ni), bool)
+    mask[head[fwd], tail[fwd] - nu] = True
+    s_o, i_o = mips_topk(params.user_emb[jnp.asarray(users)], params.item_emb,
+                         k=7, exclude_mask=jnp.asarray(mask[users]),
+                         method="twophase", score_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_o))
+    for r, u in enumerate(users):
+        assert not mask[u][np.asarray(i)[r]].any()
+
+
+def test_postfilter_matches_masked_oracle(tiny_data):
+    from movie_recommender_system_with_gnns_tpu.models.lightgcn import init_params
+    from movie_recommender_system_with_gnns_tpu.ops.topk import (
+        excl_matrix_from_pairs, mips_topk_postfilter,
+    )
+
+    rng = np.random.default_rng(3)
+    nu, ni = 40, 600
+    params = init_params(jax.random.PRNGKey(1), nu, ni, 16)
+    lens = rng.integers(0, 9, nu)
+    indptr = np.concatenate([[0], np.cumsum(lens)])
+    items = rng.integers(0, ni, indptr[-1]).astype(np.int32)
+    excl = excl_matrix_from_pairs(indptr, items, 16)
+    s, i = mips_topk_postfilter(params.user_emb, params.item_emb,
+                                jnp.asarray(excl), k=5)
+    mask = np.zeros((nu, ni), bool)
+    for u in range(nu):
+        mask[u, items[indptr[u]:indptr[u + 1]]] = True
+    s_o, i_o = mips_topk(params.user_emb, params.item_emb, k=5,
+                         exclude_mask=jnp.asarray(mask), method="twophase",
+                         score_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_o))
+    with pytest.raises(ValueError, match="l_pad"):
+        excl_matrix_from_pairs(indptr, items, int(lens.max()) - 1)
