@@ -89,7 +89,8 @@ SCALES = {
     # full: ml-25m statistics (162,541 users / 59,047 movies; power-law with 200
     # planted taste communities so Cluster-GCN partitioning has real structure)
     "full": dict(users=162_541, items=59_047, interactions=18_000_000,
-                 clusters=100, layers=3, dim=64, communities=200, power=0.9),
+                 clusters=100, layers=3, dim=64, communities=200, power=0.9,
+                 sharded_parts=64),
     "small": dict(users=16_254, items=5_905, interactions=1_800_000,
                   clusters=10, layers=3, dim=64, communities=40, power=0.9),
     "tiny": dict(users=943, items=1_682, interactions=100_000,
@@ -314,7 +315,11 @@ def bench_sharded_epoch(data, scale, epochs=2):
     # the block width (max nodes per part) caps VMEM/HBM for the dense blocks;
     # if the partitioner's item-plurality step skews a part too wide, re-cut
     # with more parts until every block fits
-    num_parts = scale["clusters"]
+    # r5 parts sweep on-chip: 64 parts (width 3968) beat 100 (3.60 -> 3.51 s;
+    # 24% fewer off-diagonal edge rows outweigh the bigger bf16 block reads);
+    # 200/400 parts measured worse in r4, 48/32 re-cut to 96/64 by the VMEM
+    # guard and measured 3.65/3.52 s
+    num_parts = scale.get("sharded_parts", scale["clusters"])
     t_part = t_build = 0.0
     while True:
         t1 = time.time()
@@ -650,7 +655,7 @@ def main():
                 e_off_directed=sh_extras["e_off_directed"],
                 ell_chunks=sh_extras["ell_chunks"],
                 blk_k=sh_extras["blk_k"], blk_p=sh_extras["block_width"],
-                rates=rates, peak_flops=pf, peak_hbm_gbps=pb)
+                rates=rates, peak_flops=pf, peak_hbm_gbps=pb / 1e9)
             sharded["sharded_floor_s"] = round(shf["sharded_floor_s"], 4)
             sharded["sharded_rowop_util"] = round(
                 shf["sharded_floor_s"] / sh_s, 3)

@@ -588,7 +588,14 @@ def make_sharded_train_step(
         # fused (final ‖ initial) gather pairs: TPU gather cost is per-ROW
         # (width-independent up to 128 lanes), so one 2d-wide gather per index
         # set halves the row-op count vs separate final/initial gathers (the
-        # same fusion the compact trainer uses, training/compact.py)
+        # same fusion the compact trainer uses, training/compact.py).
+        # MEASURED r5 (profile-guided attempt, then reverted): replacing
+        # these gathers' AD scatter-add transpose (29.4 ms/step self-time at
+        # ~10.7 GB/s in the trace) with a sorted-segment custom VJP left the
+        # epoch wall unchanged (3.60 → 3.64 s) — the scatter overlaps the
+        # propagation's gather traffic, so its self-time is not critical-path
+        # time — and custom_vjp opacity breaks shard_map's varying-axes
+        # inference. Plain AD stays.
         d = fu.shape[1]
         u_cat = jnp.concatenate([fu, u0], axis=1)[batch.user]
         uf, ui = u_cat[:, :d], u_cat[:, d:]
