@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--num-negatives", type=int, default=8)
     ap.add_argument("--loss", default="standard", choices=["reference", "standard"])
     ap.add_argument("--split", default="interaction", choices=["edge", "interaction"])
-    ap.add_argument("--negatives", default="uniform", choices=["uniform", "feasible"])
+    ap.add_argument("--negatives", default="uniform", choices=["uniform", "feasible", "popularity"])
     ap.add_argument("--fullgraph-steps", type=int, default=16)
     ap.add_argument("--compact-lr-scale", type=float, default=1.0,
                     help="lr multiplier for compact epochs only. Cluster "
@@ -196,6 +196,12 @@ def main():
         # no zero-moment buffers are held alive across the run
         optax_template = jax.eval_shape(make_optimizer(cfg_f).init,
                                         state.params)
+        from movie_recommender_system_with_gnns_tpu.training.compact import (
+            init_lazy_adam,
+        )
+
+        state = TrainState(state.params, init_lazy_adam(state.params),
+                           state.step)
 
     if args.correction == "boundary":
         from movie_recommender_system_with_gnns_tpu.training.compact import (

@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--num-negatives", type=int, default=1)
     ap.add_argument("--negatives", default="uniform",
-                    choices=["uniform", "feasible"],
+                    choices=["uniform", "feasible", "popularity"],
                     help="feasible = exact rejection-resampled negatives "
                          "(fullgraph trainer)")
     ap.add_argument("--fused-bpr", action="store_true",

@@ -144,7 +144,9 @@ class TrainConfig:
     # negative sampling law: "uniform" = the reference's no-collision-check
     # simplification (helpers.py:68,79-80); "feasible" = exact rejection
     # resampling against the train pair set (the variant the reference
-    # sketches but never wires in, helpers.py:11-62) — fullgraph trainer only
+    # sketches but never wires in, helpers.py:11-62); "popularity" =
+    # count^0.75 (word2vec law) via an O(1)-per-draw Walker alias table
+    # (ops/sampling.py::sample_negative_alias) — fullgraph trainer
     negatives: str = "uniform"
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments

@@ -175,3 +175,56 @@ def sample_negative_feasible(
         redraw = jax.random.randint(sub, shape, 0, num_items, dtype=jnp.int32)
         neg = jnp.where(is_member, redraw, neg)
     return neg
+
+
+def build_alias_table(counts: np.ndarray, power: float = 0.75,
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side Walker alias table for popularity^power negative sampling.
+
+    The reference samples negatives uniformly (helpers.py:79-80); popularity-
+    weighted negatives (word2vec's count^0.75 law) sharpen the ranking signal
+    by spending draws where the model must discriminate hardest. The alias
+    method makes each device draw O(1): two uniforms → one row probe + one
+    conditional redirect — no searchsorted (a ~16-round serial binary search
+    on TPU). Returns ``(prob (N,) float32, alias (N,) int32)``.
+    """
+    w = np.asarray(counts, np.float64) ** power
+    if w.sum() <= 0:
+        w = np.ones_like(w)
+    p = w / w.sum() * w.shape[0]          # mean 1
+    prob = np.zeros(w.shape[0], np.float32)
+    alias = np.zeros(w.shape[0], np.int32)
+    small = [i for i, x in enumerate(p) if x < 1.0]
+    large = [i for i, x in enumerate(p) if x >= 1.0]
+    p = p.copy()
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = p[l] - (1.0 - p[s])
+        (small if p[l] < 1.0 else large).append(l)
+    for i in large + small:
+        prob[i] = 1.0
+        alias[i] = i
+    return prob, alias
+
+
+def item_popularity(edge_index: np.ndarray, num_users: int,
+                    num_items: int) -> np.ndarray:
+    """(N,) train interaction counts per item (the popularity law's input)."""
+    head, tail = np.asarray(edge_index[0]), np.asarray(edge_index[1])
+    m = (head < num_users) & (tail >= num_users)
+    return np.bincount(tail[m] - num_users, minlength=num_items)
+
+
+def sample_negative_alias(key: jax.Array, batch: int, num_items: int,
+                          prob: jax.Array, alias: jax.Array,
+                          num: int = 1) -> jax.Array:
+    """Popularity^power negatives via the alias table: per draw, pick slot
+    ``j ~ U[0, N)``, keep it with probability ``prob[j]``, else take
+    ``alias[j]``. Two (B,)-row gathers on device — O(1) per draw."""
+    shape = (batch,) if num <= 1 else (batch, num)
+    k1, k2 = jax.random.split(key)
+    j = jax.random.randint(k1, shape, 0, num_items, dtype=jnp.int32)
+    u = jax.random.uniform(k2, shape)
+    return jnp.where(u < prob[j], j, alias[j]).astype(jnp.int32)

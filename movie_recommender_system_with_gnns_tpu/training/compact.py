@@ -744,8 +744,11 @@ def lazy_state_to_optax(lz: LazyAdamState, template):
             return optax.ScaleByAdamState(
                 count=lz.count.astype(node.count.dtype), mu=lz.mu, nu=lz.nu)
         if isinstance(node, optax.ScaleByScheduleState):
+            # fresh buffer: the SAME count array in two state leaves would be
+            # donated twice by the epoch fns' donate_argnums (backend
+            # InvalidArgument on this platform)
             return optax.ScaleByScheduleState(
-                count=lz.count.astype(node.count.dtype))
+                count=(lz.count + 0).astype(node.count.dtype))
         if isinstance(node, tuple) and type(node) is not tuple:  # NamedTuple
             return type(node)(*(walk(c) for c in node))
         if isinstance(node, tuple):

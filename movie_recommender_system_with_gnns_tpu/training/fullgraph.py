@@ -35,7 +35,7 @@ import optax
 
 from ..config import Config
 from ..ops.sampling import (TripletBatch, sample_negative,
-                            sample_negative_feasible)
+                            sample_negative_alias, sample_negative_feasible)
 from ..ops.spmm import (HybridGraph, build_hybrid_graph, spmm_hybrid,
                         spmm_hybrid_sym)
 from .train import (TrainState, compute_loss, compute_loss_grads_microbatched,
@@ -54,7 +54,8 @@ class FullGraphTrainData:
 
     def __init__(self, hybrid: HybridGraph, user: jax.Array, pos_item: jax.Array,
                  e_real: int, num_steps: int, batch: int,
-                 symmetric_ok: bool = True, member_table=None):
+                 symmetric_ok: bool = True, member_table=None,
+                 alias_table=None):
         self.hybrid = hybrid
         self.user = user
         self.pos_item = pos_item
@@ -67,6 +68,9 @@ class FullGraphTrainData:
         # sorted (2, L) int32 (user, item) pair table, present only when
         # cfg.train.negatives == "feasible" (exact negative sampling)
         self.member_table = member_table
+        # (prob (N,), alias (N,)) Walker table, present only when
+        # cfg.train.negatives == "popularity" (count^0.75 law)
+        self.alias_table = alias_table
 
 
 def build_fullgraph_data(
@@ -151,7 +155,15 @@ def build_fullgraph_data(
     num_steps = max(1, -(-e_real // batch))
     e_pad = num_steps * batch
     member_table = None
-    if cfg.train.negatives == "feasible":
+    alias_table = None
+    if cfg.train.negatives == "popularity":
+        from ..ops.sampling import build_alias_table, item_popularity
+
+        counts = item_popularity(train_edge_index, num_users,
+                                 num_nodes - num_users)
+        prob, alias = build_alias_table(counts, power=0.75)
+        alias_table = (jnp.asarray(prob), jnp.asarray(alias))
+    elif cfg.train.negatives == "feasible":
         from ..ops.sampling import build_member_table
 
         # (2, L) int32 sorted pair table — int32-exact at any MovieLens scale
@@ -165,6 +177,7 @@ def build_fullgraph_data(
         hybrid=hybrid, user=jnp.asarray(users), pos_item=jnp.asarray(pos),
         e_real=e_real, num_steps=num_steps, batch=batch,
         symmetric_ok=symmetric_ok, member_table=member_table,
+        alias_table=alias_table,
     )
 
 
@@ -196,7 +209,7 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
              static_argnames=("e_real", "num_steps", "batch"))
     def epoch_inner(state: TrainState, hybrid: HybridGraph, user: jax.Array,
                     pos_item: jax.Array, key: jax.Array,
-                    member_table=None, *,
+                    member_table=None, alias_table=None, *,
                     e_real: int, num_steps: int, batch: int
                     ) -> Tuple[TrainState, jax.Array]:
         pkey, skey = jax.random.split(key)
@@ -215,6 +228,10 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
                 neg = sample_negative_feasible(
                     k, uu, st.params.item_emb.shape[0], member_table,
                     num=cfg.train.num_negatives)
+            elif alias_table is not None:
+                neg = sample_negative_alias(
+                    k, batch, st.params.item_emb.shape[0], alias_table[0],
+                    alias_table[1], num=cfg.train.num_negatives)
             else:
                 neg = sample_negative(k, batch, st.params.item_emb.shape[0],
                                       cfg.train.num_negatives)
@@ -239,7 +256,7 @@ def make_fullgraph_epoch_fn(cfg: Config, fg: FullGraphTrainData):
         # state): calling with a differently-shaped FullGraphTrainData retraces
         # correctly instead of silently misindexing
         return epoch_inner(state, fg_.hybrid, fg_.user, fg_.pos_item, key,
-                           fg_.member_table,
+                           fg_.member_table, fg_.alias_table,
                            e_real=fg_.e_real, num_steps=fg_.num_steps,
                            batch=fg_.batch)
 

@@ -418,3 +418,46 @@ def test_member_probe_exact_at_ml25m_id_scale():
     hit2 = np.asarray(_member_probe(tab, jnp.asarray(u.astype(np.int32)),
                                     jnp.asarray(i2.astype(np.int32))))
     np.testing.assert_array_equal(hit2, expect)
+
+
+def test_popularity_negatives_law_and_trains(tiny_data):
+    """negatives='popularity' draws ∝ count^0.75 (alias table) and the
+    fullgraph trainer runs with it."""
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommender_system_with_gnns_tpu.ops.sampling import (
+        build_alias_table, item_popularity, sample_negative_alias,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.fullgraph import (
+        build_fullgraph_data, make_fullgraph_epoch_fn,
+    )
+    from movie_recommender_system_with_gnns_tpu.training.train import (
+        create_train_state,
+    )
+
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    counts = item_popularity(tiny_data.edge_index, nu, ni)
+    prob, alias = build_alias_table(counts, 0.75)
+    draws = sample_negative_alias(jax.random.PRNGKey(0), 100_000, ni,
+                                  jnp.asarray(prob), jnp.asarray(alias))
+    emp = np.bincount(np.asarray(draws), minlength=ni) / 100_000
+    w = counts.astype(np.float64) ** 0.75
+    exp = w / w.sum()
+    assert np.abs(emp - exp).max() < 0.01
+
+    cfg = Config(model=ModelConfig(num_layers=2, dim=8),
+                 train=TrainConfig(trainer="fullgraph", lr=1e-2,
+                                   negatives="popularity", fullgraph_steps=2,
+                                   loss="standard"))
+    fg = build_fullgraph_data(cfg, tiny_data.edge_index, nu, nu + ni)
+    assert fg.alias_table is not None
+    state = create_train_state(cfg, nu, ni)
+    fn = make_fullgraph_epoch_fn(cfg, fg)
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, loss = fn(state, fg, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
