@@ -91,12 +91,18 @@ def partition_assignments(
     seed: int = 0,
     balance_tol: float = 0.0,
     uv: Tuple[np.ndarray, np.ndarray] = None,
+    refine_rounds: int = None,
+    slack: float = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Node→part assignments (part_of_user, part_of_item) — the raw output of
     the greedy partitioner, exposed for consumers that need the node partition
     itself (e.g. hybrid block-diagonal propagation) rather than kept-edge
     subgraphs. ``uv`` optionally supplies a precomputed :func:`forward_half`
-    result to avoid a second O(E) pass."""
+    result to avoid a second O(E) pass.
+
+    ``refine_rounds``/``slack`` tune the native label-propagation refinement
+    (C++ path only; the NumPy fallback has no refiner and ignores them —
+    r5 sharded-hybrid builds pass refine_rounds=8 for ~5% more intra mass)."""
     # operate on the user→item half; mirror at the end
     u, it = uv if uv is not None else forward_half(edge_index, num_users)
     num_items = num_nodes - num_users
@@ -106,9 +112,14 @@ def partition_assignments(
     if native.available():
         # C++ fast path (native/graphcore.cpp gc_partition_greedy) — same
         # algorithm; kept-edge sets are identical to the NumPy path
+        kw = {}
+        if refine_rounds is not None:
+            kw["refine_rounds"] = refine_rounds
+        if slack is not None:
+            kw["slack"] = slack
         part_of_user, part_of_item, _ = native.partition_greedy(
             u, it, num_users, num_items, num_parts, seed,
-            balance_tol=balance_tol)
+            balance_tol=balance_tol, **kw)
         return part_of_user, part_of_item
 
     u_deg = np.bincount(u, minlength=num_users)

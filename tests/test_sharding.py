@@ -208,6 +208,63 @@ def test_sharded_hybrid_matches_single_device_hybrid(tiny_data, mesh):
                                np.asarray(params_ref.item_emb), rtol=2e-4, atol=1e-6)
 
 
+def test_sharded_hybrid_ghost_columns_match_single_device(tiny_data, mesh):
+    """r5 ghost source columns (VERDICT r4 item 3): absorbing off-part hub
+    sources into the dense blocks must leave the GLOBAL operator exactly Â —
+    one sharded train step with ghost_cap on equals the single-device hybrid
+    reference step, and some edges must actually have moved off the ELL
+    remainder for the test to mean anything."""
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+        build_hybrid_graph, spmm_hybrid_sym,
+    )
+    from movie_recommender_system_with_gnns_tpu.parallel.sharding import (
+        shard_hybrid_graph,
+    )
+
+    cfg = _cfg()
+    nu, ni = tiny_data.num_users, tiny_data.num_items
+    n = nu + ni
+    e = tiny_data.edge_index
+    node_part = _node_part(tiny_data)
+    plan = ShardPlan.create(nu, ni, pm=4)
+
+    params = init_params(jax.random.PRNGKey(0), nu, ni, cfg.model.dim)
+    batch = triplets_from_edges(e, nu, pad_to=2048)
+    neg = jax.random.randint(jax.random.PRNGKey(7), (2048,), 0, ni,
+                             dtype=jnp.int32)
+
+    h = build_hybrid_graph(e, n, node_part, 4, align=8,
+                           block_dtype=jnp.float32)
+    loss_ref, grads_ref = jax.value_and_grad(compute_loss)(
+        params, h, batch, neg, cfg, spmm_hybrid_sym)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+                      optax.adam(cfg.train.lr))
+    upd, _ = opt.update(grads_ref, opt.init(params), params)
+    params_ref = optax.apply_updates(params, upd)
+
+    p_pad = pad_params(params, plan)
+    adam = optax.adam(cfg.train.lr)
+    state = (p_pad, adam.init(p_pad), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(cfg, mesh, plan, opt=adam, hybrid=True,
+                                   symmetric=True)(state)
+    g = shard_hybrid_graph(e, plan, node_part, 4, align=8,
+                           block_dtype=jnp.float32,
+                           ghost_cap=64, max_block_nodes=4096)
+    stats = shard_hybrid_graph.last_stats
+    assert stats["absorbed_edges"] > 0, stats
+    assert stats["remainder_edges"] < stats["off_diag_edges"]
+    state2, loss_sh = step(state, g, batch, neg)
+    p_new = unpad_params(state2[0], plan)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_new.user_emb),
+                               np.asarray(params_ref.user_emb), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_new.item_emb),
+                               np.asarray(params_ref.item_emb), rtol=2e-4,
+                               atol=1e-6)
+
+
 def test_sharded_hybrid_symmetric_vjp_matches_autodiff(tiny_data, mesh):
     """The sharded per-layer symmetric VJP (backward = forward collective
     program) must equal plain autodiff through the sharded hybrid layers."""
