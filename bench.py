@@ -342,7 +342,9 @@ def bench_sharded_epoch(data, scale, epochs=2):
             hg = shard_hybrid_graph(data.edge_index, plan,
                                     np.concatenate([pu, pi]), num_parts,
                                     ghost_cap=ghost_cap,
-                                    max_block_nodes=max(4096, ghost_cap))
+                                    max_block_nodes=max(4096, ghost_cap),
+                                    ell_width=scale.get("sharded_ell_width",
+                                                        16))
             t_build += time.time() - t1
             break
         except ValueError:

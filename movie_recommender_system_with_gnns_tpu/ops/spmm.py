@@ -333,13 +333,19 @@ class ChunkedEll:
 
 
 def spmm_chunked_ell(ell: ChunkedEll, emb: jax.Array,
-                     slices: int = 8) -> jax.Array:
+                     slices: int = 8, combine: str = "einsum") -> jax.Array:
     """``Â_off @ emb`` via chunked-ELL: gather (c, W) neighbor rows, weighted
     reduce over W on the VPU, sorted segment-sum over chunk rows.
 
     ``slices`` bounds the transient (C/slices, W, d) gather buffer (~E·d·4/slices
     bytes); the slice loop is a Python loop over static slices so XLA overlaps
     the slices' gathers and reductions freely.
+
+    ``combine='mulsum'`` replaces the batched (W)·(W, d) dot_general with a
+    broadcast multiply + W-axis reduce: same math and summation dtype, but a
+    pure VPU elementwise/reduce program that XLA can fuse into the gather
+    consumer without dot_general's operand layout transforms (the r5 sharded
+    profile shows those as ~12 ms/application of reshape traffic).
     """
     emb_pad = jnp.concatenate(
         [emb, jnp.zeros((1, emb.shape[1]), emb.dtype)], axis=0)
@@ -354,8 +360,12 @@ def spmm_chunked_ell(ell: ChunkedEll, emb: jax.Array,
         # STAY f32 (ADVICE r4 — w.astype(emb.dtype) silently rounded them),
         # so a bf16 ``emb`` only rounds the gathered operands; the products
         # promote to f32 and the W-reduce + segment sum accumulate in f32
-        outs.append(jnp.einsum("cw,cwd->cd", w.astype(jnp.float32), g,
-                               preferred_element_type=jnp.float32))
+        if combine == "mulsum":
+            outs.append((w.astype(jnp.float32)[:, :, None]
+                         * g.astype(jnp.float32)).sum(axis=1))
+        else:
+            outs.append(jnp.einsum("cw,cwd->cd", w.astype(jnp.float32), g,
+                                   preferred_element_type=jnp.float32))
     red = jnp.concatenate(outs, axis=0)              # (C, d) f32
     return jax.ops.segment_sum(red, ell.dst, num_segments=ell.num_nodes,
                                indices_are_sorted=True)

@@ -54,6 +54,26 @@ def test_symmetric_vjp_matches_autodiff():
     assert rel < 1e-5, rel
 
 
+def test_chunked_ell_mulsum_combine_matches_einsum():
+    """spmm_chunked_ell(combine='mulsum') is the same math as the einsum
+    default (r5 A/B knob: measured wall-neutral on chip, kept as the
+    documented alternative lowering)."""
+    from movie_recommender_system_with_gnns_tpu.ops.spmm import (
+        ChunkedEll, spmm_chunked_ell,
+    )
+
+    rng = np.random.default_rng(3)
+    n, e = 64, 400
+    src = rng.integers(0, n, e)
+    dst = np.sort(rng.integers(0, n, e))
+    w = rng.random(e).astype(np.float32)
+    ell = ChunkedEll.build(src, dst, w, n, width=4, num_src=n)
+    emb = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+    a = np.asarray(spmm_chunked_ell(ell, emb))
+    b = np.asarray(spmm_chunked_ell(ell, emb, combine="mulsum"))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_chunked_ell_matches_coo_remainder():
     """hybrid(off_format='ell') ≡ hybrid(off_format='coo') ≡ full segment-sum
     (chunk reduction only reorders f32 sums within a destination row)."""
