@@ -102,6 +102,14 @@ def cmd_train(args) -> int:
                 cfg.train.checkpoint_path, p, meta={"val_recall": r}),
             metrics_logger=logger)
         state = state._replace(params=params)
+    elif args.max_retries > 0:
+        # elastic driver (training/recovery.py): transient device/tunnel
+        # failures resume bit-exactly from the periodic full-state checkpoint
+        from .training.recovery import train_with_recovery
+
+        state, hist = train_with_recovery(
+            cfg, state, clusters, val, test, max_retries=args.max_retries,
+            save_checkpoint=save_cb, metrics_logger=logger)
     else:
         state, hist = train_model(cfg, state, clusters, val, test,
                                   save_checkpoint=save_cb, metrics_logger=logger)
@@ -324,6 +332,10 @@ def main(argv=None) -> int:
                          "train pair set (fullgraph trainer)")
     pt.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR loss+grad kernel (ops/pallas_bpr.py)")
+    pt.add_argument("--max-retries", type=int, default=0,
+                    help="retry transient device failures N times, resuming "
+                         "bit-exactly from the periodic full-state checkpoint "
+                         "(training/recovery.py); 0 = plain train_model")
     pt.add_argument("--full-eval", action="store_true",
                     help="post-training full-ranking Recall@k/NDCG@k on test")
     pt.add_argument("--full-eval-k", type=int, default=10)

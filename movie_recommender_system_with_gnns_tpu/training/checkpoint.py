@@ -112,3 +112,10 @@ def load_train_state(path: str, state_like):
     with np.load(path) as z:
         new_leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_state_meta(path: str) -> dict:
+    """The meta dict stored next to a full-state checkpoint (e.g. the epoch it
+    was taken after — the resume point for :mod:`training.recovery`)."""
+    with np.load(path) as z:
+        return json.loads(bytes(z["_meta"]).decode())

@@ -414,9 +414,18 @@ def train_model(
     on_epoch_end: Optional[Callable] = None,  # (epoch, metrics[, state]) -> None
     save_checkpoint: Optional[Callable[[TrainState, float], None]] = None,
     metrics_logger=None,
+    start_epoch: int = 0,
+    best_recall: float = 0.0,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
+    """``start_epoch``/``best_recall`` support mid-run resume (training/
+    recovery.py): the per-epoch PRNG splits are fast-forwarded so a resumed
+    run consumes exactly the keys the uninterrupted run would have — combined
+    with the bit-exact full-state checkpoint this makes recovery reproduce
+    the uninterrupted run bit for bit (tests/test_recovery.py)."""
     eval_step = make_eval_step(cfg, spmm)
     key = jax.random.PRNGKey(cfg.train.seed + 1)
+    for _ in range(start_epoch):
+        key, _, _ = jax.random.split(key, 3)
 
     # trainer selection:
     #  - CompactClusters  → fused compact-space epoch scan (training/compact.py)
@@ -449,8 +458,7 @@ def train_model(
 
     hist: Dict[str, List[float]] = {"train_loss": [], "val_loss": [], "val_recall": [],
                                     "epoch_time_s": []}
-    best_recall = 0.0
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(start_epoch, cfg.train.epochs):
         key, ek, vk = jax.random.split(key, 3)
         t0 = time.perf_counter()
         if stacked is not None:
