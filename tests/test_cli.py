@@ -43,6 +43,17 @@ def test_cli_train_then_recommend(workdir, capsys):
     assert "users for movie 1" in capsys.readouterr().out
 
 
+def test_cli_train_with_recovery_flag(workdir, capsys):
+    """--max-retries routes through the elastic driver (training/recovery.py)
+    and still produces the checkpoint + histories on a clean run."""
+    rc = main(_common(workdir, "train", "--max-retries", "1"))
+    assert rc == 0
+    assert os.path.exists(workdir / "model.npz")
+    out = capsys.readouterr().out
+    assert "recovery: enabling per-epoch full-state checkpoints" in out
+    assert os.path.exists(workdir / "recovery_state.npz")
+
+
 def test_cli_recommend_invalid_user(workdir, capsys):
     main(_common(workdir, "train"))
     capsys.readouterr()
