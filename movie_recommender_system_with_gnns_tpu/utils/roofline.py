@@ -195,7 +195,8 @@ def sharded_epoch_floor(
     ici_gbps: float = 0.0,
 ) -> Dict[str, float]:
     """Sequential floor for one sharded-hybrid epoch (VERDICT r4 item 6 — the
-    3.6 s number finally gets a denominator).
+    sharded epoch number finally gets a denominator — 2.91 s at r5's
+    ghost-column layout vs a 1.49 s no-overlap floor, util 0.51).
 
     Counts mirror ``parallel/sharding.py::make_sharded_epoch_fn`` with the
     hybrid kernel + symmetric-Â VJP: per step the propagation operator runs
