@@ -63,6 +63,8 @@ def main():
                     choices=["uniform", "feasible", "popularity"],
                     help="feasible = exact rejection-resampled negatives "
                          "(fullgraph trainer)")
+    ap.add_argument("--negatives-power", type=float, default=0.75,
+                    help="popularity-law exponent (negatives=popularity)")
     ap.add_argument("--fused-bpr", action="store_true",
                     help="fused Pallas BPR kernel (reference loss only)")
     ap.add_argument("--optimizer", default="adam",
@@ -101,6 +103,7 @@ def main():
                           loss_microbatches=args.loss_microbatches,
                           num_negatives=args.num_negatives,
                           negatives=args.negatives,
+                          negatives_power=args.negatives_power,
                           partition_balance_tol=args.balance_tol, seed=args.seed,
                           optimizer=args.optimizer,
                           checkpoint_path=os.path.join(args.out, "best_model.npz"),

@@ -148,6 +148,10 @@ class TrainConfig:
     # count^0.75 (word2vec law) via an O(1)-per-draw Walker alias table
     # (ops/sampling.py::sample_negative_alias) — fullgraph trainer
     negatives: str = "uniform"
+    # exponent of the popularity law (negatives="popularity"): 0 = uniform,
+    # 0.75 = word2vec default, 1.0 = raw counts. Measured at ML-25M d=256
+    # (README quality detail): 0.75 beats uniform on both metrics
+    negatives_power: float = 0.75
     # "adam" = dense per-step Adam over both full tables (torch reference
     # semantics, train_test.py:236); "lazy_adam" = rows-touched-only moments
     # (torch SparseAdam analog; see training/compact.py for exact semantics);

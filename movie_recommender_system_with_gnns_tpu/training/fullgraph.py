@@ -161,7 +161,8 @@ def build_fullgraph_data(
 
         counts = item_popularity(train_edge_index, num_users,
                                  num_nodes - num_users)
-        prob, alias = build_alias_table(counts, power=0.75)
+        prob, alias = build_alias_table(counts,
+                                        power=cfg.train.negatives_power)
         alias_table = (jnp.asarray(prob), jnp.asarray(alias))
     elif cfg.train.negatives == "feasible":
         from ..ops.sampling import build_member_table
