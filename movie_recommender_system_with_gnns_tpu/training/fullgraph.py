@@ -69,7 +69,7 @@ class FullGraphTrainData:
         # cfg.train.negatives == "feasible" (exact negative sampling)
         self.member_table = member_table
         # (prob (N,), alias (N,)) Walker table, present only when
-        # cfg.train.negatives == "popularity" (count^0.75 law)
+        # cfg.train.negatives == "popularity" (count^negatives_power law)
         self.alias_table = alias_table
 
 
